@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+
+Multi-device sharding tests exercise the data-parallel path without TPUs
+(the driver separately dry-runs the multi-chip path; see __graft_entry__.py).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)

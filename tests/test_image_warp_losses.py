@@ -1,0 +1,209 @@
+"""Golden tests for image ops, grid_sample, and losses against torch CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from ssde_tpu.ops import (
+    upsample2x_nearest,
+    resize_bilinear,
+    pixel_shuffle,
+    avg_pool_3x3,
+    reflect_pad_2d,
+    grid_sample,
+    ssim,
+    reprojection_loss,
+    smooth_loss,
+    compute_depth_errors,
+    photometric_loss,
+)
+
+
+def nchw(x):  # NHWC numpy -> NCHW torch
+    return torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+
+
+def nhwc(t):  # NCHW torch -> NHWC numpy
+    return np.transpose(t.numpy(), (0, 2, 3, 1))
+
+
+def test_upsample_nearest(rng):
+    x = rng.rand(2, 4, 6, 3).astype(np.float32)
+    ours = np.asarray(upsample2x_nearest(jnp.asarray(x)))
+    ref = nhwc(F.interpolate(nchw(x), scale_factor=2, mode="nearest"))
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_resize_bilinear_no_align(rng):
+    x = rng.rand(2, 6, 10, 3).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), (12, 20), align_corners=False))
+    ref = nhwc(F.interpolate(nchw(x), size=(12, 20), mode="bilinear", align_corners=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_resize_bilinear_align(rng):
+    x = rng.rand(2, 6, 10, 2).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), (12, 20), align_corners=True))
+    ref = nhwc(F.interpolate(nchw(x), size=(12, 20), mode="bilinear", align_corners=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_resize_bilinear_downscale(rng):
+    x = rng.rand(1, 8, 12, 1).astype(np.float32)
+    ours = np.asarray(resize_bilinear(jnp.asarray(x), (4, 6), align_corners=False))
+    ref = nhwc(F.interpolate(nchw(x), size=(4, 6), mode="bilinear", align_corners=False))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_pixel_shuffle(rng):
+    x = rng.rand(2, 3, 5, 8).astype(np.float32)
+    ours = np.asarray(pixel_shuffle(jnp.asarray(x), 2))
+    ref = nhwc(F.pixel_shuffle(nchw(x), 2))
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_avg_pool_reflect(rng):
+    x = rng.rand(2, 6, 8, 3).astype(np.float32)
+    padded = reflect_pad_2d(jnp.asarray(x), 1)
+    ours = np.asarray(avg_pool_3x3(padded))
+    t = F.pad(nchw(x), (1, 1, 1, 1), mode="reflect")
+    ref = nhwc(F.avg_pool2d(t, 3, 1))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_grid_sample_matches_torch(rng):
+    img = rng.rand(2, 8, 12, 3).astype(np.float32)
+    # grid values beyond [-1,1] exercise border clamping
+    grid = (rng.rand(2, 8, 12, 2).astype(np.float32) * 2.4 - 1.2)
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    ref = nhwc(
+        F.grid_sample(
+            nchw(img),
+            torch.from_numpy(grid),
+            mode="bilinear",
+            padding_mode="border",
+            align_corners=False,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_align_corners(rng):
+    img = rng.rand(1, 6, 6, 2).astype(np.float32)
+    grid = (rng.rand(1, 5, 7, 2).astype(np.float32) * 2 - 1)
+    ours = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid), align_corners=True))
+    ref = nhwc(
+        F.grid_sample(
+            nchw(img), torch.from_numpy(grid),
+            mode="bilinear", padding_mode="border", align_corners=True,
+        )
+    )
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_grid_sample_grad_finite_differences(rng):
+    """Gradient through warp w.r.t. the grid matches finite differences."""
+    img = jnp.asarray(rng.rand(1, 5, 5, 1).astype(np.float32))
+    grid = jnp.asarray(rng.rand(1, 4, 4, 2).astype(np.float32) * 1.2 - 0.6)
+
+    def loss(g):
+        return jnp.sum(grid_sample(img, g) ** 2)
+
+    g = jax.grad(loss)(grid)
+    eps = 1e-3
+    for idx in [(0, 0, 0, 0), (0, 1, 2, 1), (0, 3, 3, 0)]:
+        gp = grid.at[idx].add(eps)
+        gm = grid.at[idx].add(-eps)
+        fd = (loss(gp) - loss(gm)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g[idx]), np.asarray(fd), atol=2e-2)
+
+
+def torch_ssim(x, y):
+    refl = torch.nn.ReflectionPad2d(1)
+    pool = torch.nn.AvgPool2d(3, 1)
+    x, y = refl(x), refl(y)
+    mu_x, mu_y = pool(x), pool(y)
+    sigma_x = pool(x**2) - mu_x**2
+    sigma_y = pool(y**2) - mu_y**2
+    sigma_xy = pool(x * y) - mu_x * mu_y
+    n = (2 * mu_x * mu_y + 0.01**2) * (2 * sigma_xy + 0.03**2)
+    d = (mu_x**2 + mu_y**2 + 0.01**2) * (sigma_x + sigma_y + 0.03**2)
+    return torch.clamp((1 - n / d) / 2, 0, 1)
+
+
+def test_ssim_matches_reference(rng):
+    x = rng.rand(2, 8, 10, 3).astype(np.float32)
+    y = rng.rand(2, 8, 10, 3).astype(np.float32)
+    ours = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y)))
+    ref = nhwc(torch_ssim(nchw(x), nchw(y)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_ssim_identical_is_zero(rng):
+    x = jnp.asarray(rng.rand(1, 8, 8, 3).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(ssim(x, x)), 0.0, atol=1e-6)
+
+
+def test_reprojection_loss_weights(rng):
+    x = rng.rand(1, 8, 8, 3).astype(np.float32)
+    y = rng.rand(1, 8, 8, 3).astype(np.float32)
+    full = np.asarray(reprojection_loss(jnp.asarray(x), jnp.asarray(y)))
+    l1_only = np.asarray(reprojection_loss(jnp.asarray(x), jnp.asarray(y), no_ssim=True))
+    s = np.asarray(ssim(jnp.asarray(x), jnp.asarray(y))).mean(-1, keepdims=True)
+    np.testing.assert_allclose(full, 0.85 * s + 0.15 * l1_only, atol=1e-6)
+
+
+def test_smooth_loss_matches_reference(rng):
+    disp = rng.rand(2, 8, 10, 1).astype(np.float32)
+    img = rng.rand(2, 8, 10, 3).astype(np.float32)
+    ours = float(smooth_loss(jnp.asarray(disp), jnp.asarray(img)))
+    d, i = nchw(disp), nchw(img)
+    gx = torch.abs(d[:, :, :, :-1] - d[:, :, :, 1:])
+    gy = torch.abs(d[:, :, :-1, :] - d[:, :, 1:, :])
+    ix = torch.mean(torch.abs(i[:, :, :, :-1] - i[:, :, :, 1:]), 1, keepdim=True)
+    iy = torch.mean(torch.abs(i[:, :, :-1, :] - i[:, :, 1:, :]), 1, keepdim=True)
+    ref = float((gx * torch.exp(-ix)).mean() + (gy * torch.exp(-iy)).mean())
+    np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_depth_errors(rng):
+    gt = rng.rand(100).astype(np.float32) * 50 + 1
+    pred = gt * (1 + rng.randn(100).astype(np.float32) * 0.05)
+    pred = np.clip(pred, 0.5, None)
+    ours = [float(v) for v in compute_depth_errors(jnp.asarray(gt), jnp.asarray(pred))]
+    g, p = torch.from_numpy(gt), torch.from_numpy(pred)
+    thresh = torch.max(g / p, p / g)
+    ref = [
+        float(torch.mean(torch.abs(g - p) / g)),
+        float(torch.mean((g - p) ** 2 / g)),
+        float(torch.sqrt(((g - p) ** 2).mean())),
+        float(torch.sqrt(((torch.log(g) - torch.log(p)) ** 2).mean())),
+        float((thresh < 1.25).float().mean()),
+        float((thresh < 1.25**2).float().mean()),
+        float((thresh < 1.25**3).float().mean()),
+    ]
+    np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+def test_photometric_loss_automask_prefers_identity():
+    """A static pixel (identical in all frames) must be masked out (identity wins)."""
+    B, H, W = 1, 8, 8
+    target = jnp.ones((B, H, W, 3)) * 0.5
+    # warped preds are bad everywhere; identity sources equal target -> identity loss 0
+    preds = [target + 0.3, target - 0.3]
+    idents = [target, target]
+    loss, mask = photometric_loss(preds, idents, target, rng=None)
+    assert float(loss.mean()) < 1e-6  # identity (0 loss) selected
+    assert float(mask.mean()) == 0.0  # nothing selected from reprojections
+
+
+def test_photometric_loss_no_automask():
+    B, H, W = 1, 6, 6
+    target = jnp.ones((B, H, W, 3)) * 0.5
+    preds = [target + 0.2, target + 0.1]
+    loss, mask = photometric_loss(preds, [], target, disable_automasking=True)
+    # min over the two reprojection losses = the closer pred
+    expected = reprojection_loss(preds[1], target)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(expected), atol=1e-6)
