@@ -1,0 +1,253 @@
+"""Checkpointing: native msgpack save/load + PyTorch ``.pth`` converters.
+
+Native format mirrors the reference's per-module file contract
+(``weights_<epoch>/{encoder,depth,pose_encoder,pose,gru,head,fusion}.ckpt``
++ ``adam.ckpt``, reference trainer.py:711-763), with height/width/
+use_stereo embedded in the encoder file exactly as the reference embeds
+them in ``encoder.pth`` (trainer.py:717-721; read back by
+test_simple.py:76-77 and evaluate_depth.py:87).
+
+Converters load Monodepth2-family PyTorch checkpoints (zoo or
+reference-trained) into our NHWC flax trees: conv kernels transpose
+(O, I, H, W) -> (H, W, I, O); BatchNorm weight/bias -> scale/bias and
+running stats -> batch_stats.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import flax
+from flax import serialization
+
+
+# ---------------------------------------------------------------- native IO
+
+def save_module(path: str, params, extra: Optional[dict] = None):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {"params": serialization.to_bytes(params), "extra": extra or {}}
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+
+
+def load_module(path: str, template=None) -> Tuple[Any, dict]:
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    params = serialization.from_bytes(template, payload["params"])
+    return params, payload.get("extra", {})
+
+
+def save_checkpoint(folder: str, params: Dict[str, Any], batch_stats: Dict[str, Any],
+                    opt_state=None, *, height: int, width: int,
+                    use_stereo: bool = False):
+    """Per-module checkpoint directory (reference save_model contract)."""
+    os.makedirs(folder, exist_ok=True)
+    for name, p in params.items():
+        extra = {"batch_stats": serialization.to_bytes(batch_stats.get(name, {}))}
+        if name == "encoder":
+            extra.update({"height": height, "width": width, "use_stereo": use_stereo})
+        save_module(os.path.join(folder, f"{name}.ckpt"), p, extra)
+    if opt_state is not None:
+        save_module(os.path.join(folder, "adam.ckpt"), opt_state)
+
+
+def load_checkpoint(folder: str, params: Dict[str, Any],
+                    batch_stats: Dict[str, Any], models_to_load=None,
+                    opt_state=None):
+    """Load intersecting modules from ``folder`` into (params, batch_stats).
+
+    Mirrors reference load_model: missing files are skipped
+    (trainer.py:740-751)."""
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    meta = {}
+    for name in models_to_load or list(params):
+        path = os.path.join(folder, f"{name}.ckpt")
+        if name not in params or not os.path.exists(path):
+            continue
+        loaded, extra = load_module(path, params[name])
+        params[name] = loaded
+        if "batch_stats" in extra and name in batch_stats:
+            batch_stats[name] = serialization.from_bytes(
+                batch_stats[name], extra["batch_stats"]
+            )
+        if name == "encoder":
+            meta = {k: extra[k] for k in ("height", "width", "use_stereo")
+                    if k in extra}
+    new_opt = None
+    adam_path = os.path.join(folder, "adam.ckpt")
+    if opt_state is not None and os.path.exists(adam_path):
+        new_opt, _ = load_module(adam_path, opt_state)
+    return params, batch_stats, new_opt, meta
+
+
+# ------------------------------------------------------- torch conversion
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "numpy"):
+            out[k] = v.detach().numpy()
+        else:
+            out[k] = np.asarray(v)
+    return out
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """(O, I, kh, kw) -> (kh, kw, I, O)."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _set(tree: dict, path: str, value):
+    keys = path.split("/")
+    node = tree
+    for k in keys[:-1]:
+        node = node.setdefault(k, {})
+    node[keys[-1]] = value
+
+
+def convert_resnet_encoder(sd: Dict[str, np.ndarray]):
+    """Reference ResnetEncoder .pth -> (params, batch_stats).
+
+    Handles both "encoder.conv1.weight" (wrapped, reference
+    resnet_encoder.py:82) and bare torchvision "conv1.weight" keys, and
+    strips the reference's embedded height/width/use_stereo entries."""
+    params: dict = {}
+    stats: dict = {}
+    meta = {}
+    for key, v in sd.items():
+        if key in ("height", "width", "use_stereo"):
+            meta[key] = v
+            continue
+        k = key[len("encoder."):] if key.startswith("encoder.") else key
+        if k.startswith("fc."):
+            continue
+        parts = k.split(".")
+        if parts[0] in ("conv1", "bn1"):
+            prefix = parts[0]
+            rest = parts[1]
+            if prefix == "conv1":
+                _set(params, "conv1/kernel", _conv_kernel(v))
+            else:
+                _bn_assign(params, stats, "bn1/bn", rest, v)
+        elif parts[0].startswith("layer"):
+            stage = parts[0]          # layer1
+            block = parts[1]          # 0
+            sub = parts[2]            # conv1 / bn1 / downsample
+            name = f"{stage}_{block}"
+            if sub == "downsample":
+                which = parts[3]      # 0 (conv) or 1 (bn)
+                rest = parts[4]
+                if which == "0":
+                    _set(params, f"{name}/downsample_conv/kernel", _conv_kernel(v))
+                else:
+                    _bn_assign(params, stats, f"{name}/downsample_bn/bn", rest, v)
+            elif sub.startswith("conv"):
+                _set(params, f"{name}/{sub}/kernel", _conv_kernel(v))
+            elif sub.startswith("bn"):
+                _bn_assign(params, stats, f"{name}/{sub}/bn", parts[3], v)
+    return params, stats, meta
+
+
+def _bn_assign(params, stats, base, field, v):
+    if field == "weight":
+        _set(params, f"{base}/scale", v)
+    elif field == "bias":
+        _set(params, f"{base}/bias", v)
+    elif field == "running_mean":
+        _set(stats, f"{base}/mean", v)
+    elif field == "running_var":
+        _set(stats, f"{base}/var", v)
+    # num_batches_tracked: dropped
+
+
+def convert_depth_decoder(sd: Dict[str, np.ndarray], scales=(0, 1, 2, 3)):
+    """Reference DepthDecoder .pth -> params.
+
+    The reference registers modules as an ordered ModuleList ``decoder.N``
+    (depth_decoder.py:47): N = 0..9 are (upconv, 4..0, 0/1) ConvBlocks,
+    then one dispconv per scale."""
+    order = []
+    for i in range(4, -1, -1):
+        order.append(f"upconv_{i}_0")
+        order.append(f"upconv_{i}_1")
+    for s in scales:
+        order.append(f"dispconv_{s}")
+
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        assert parts[0] == "decoder"
+        idx = int(parts[1])
+        name = order[idx]
+        field = "kernel" if parts[-1] == "weight" else "bias"
+        value = _conv_kernel(v) if parts[-1] == "weight" else v
+        if name.startswith("upconv"):
+            # ConvBlock -> Conv3x3(name=conv) -> nn.Conv(name=conv)
+            _set(params, f"{name}/conv/conv/{field}", value)
+        else:
+            _set(params, f"{name}/conv/{field}", value)
+    return params
+
+
+def convert_pose_decoder(sd: Dict[str, np.ndarray]):
+    """Reference PoseDecoder .pth -> params (net.0 = squeeze, net.1..3 = pose_0..2)."""
+    names = {"0": "squeeze", "1": "pose_0", "2": "pose_1", "3": "pose_2"}
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        idx = parts[1]
+        field = "kernel" if parts[-1] == "weight" else "bias"
+        value = _conv_kernel(v) if parts[-1] == "weight" else v
+        _set(params, f"{names[idx]}/{field}", value)
+    return params
+
+
+def convert_pose_cnn(sd: Dict[str, np.ndarray]):
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        if parts[0] == "net":
+            name = f"conv_{parts[1]}"
+        else:
+            name = "pose_conv"
+        field = "kernel" if parts[-1] == "weight" else "bias"
+        value = _conv_kernel(v) if parts[-1] == "weight" else v
+        _set(params, f"{name}/{field}", value)
+    return params
+
+
+def load_monodepth2_checkpoint(folder: str):
+    """Load a reference-format checkpoint folder
+    ({encoder,depth,pose_encoder,pose}.pth) into flax trees.
+
+    Returns (params, batch_stats, meta) with meta carrying the encoder's
+    embedded height/width/use_stereo."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    meta: Dict[str, Any] = {}
+
+    enc_path = os.path.join(folder, "encoder.pth")
+    if os.path.exists(enc_path):
+        p, s, meta = convert_resnet_encoder(_load_torch_state_dict(enc_path))
+        params["encoder"], stats["encoder"] = p, s
+    depth_path = os.path.join(folder, "depth.pth")
+    if os.path.exists(depth_path):
+        params["depth"] = convert_depth_decoder(_load_torch_state_dict(depth_path))
+    pe_path = os.path.join(folder, "pose_encoder.pth")
+    if os.path.exists(pe_path):
+        p, s, _ = convert_resnet_encoder(_load_torch_state_dict(pe_path))
+        params["pose_encoder"], stats["pose_encoder"] = p, s
+    pose_path = os.path.join(folder, "pose.pth")
+    if os.path.exists(pose_path):
+        params["pose"] = convert_pose_decoder(_load_torch_state_dict(pose_path))
+    return params, stats, meta

@@ -1,0 +1,231 @@
+"""Host-side KITTI datasets (numpy output, device-side augmentation).
+
+Re-design of reference ``datasets/mono_dataset.py`` + ``kitti_dataset.py``:
+the host does only what must be host-bound — JPEG/PNG decode, one
+PIL-LANCZOS resize to the working resolution, optional horizontal flip, and
+velodyne GT — while the 4-scale pyramid, color jitter and intrinsics
+scaling are computed on device (``ssde_tpu.data.transforms``), keeping the
+loader thin for TPU feeding.
+
+Item contract (numpy):
+  ("color", i):   (H, W, 3) float32 in [0, 1], already flipped if do_flip
+  "K":            (4, 4) normalized intrinsics
+  "depth_gt":     (375, 1242) float32  [only when velodyne data exists]
+  "stereo_T":     (4, 4) float32       [only with "s" in frame_idxs]
+  "jitter":       (4,) float32 [brightness, contrast, saturation, hue]
+                  (identity = [1, 1, 1, 0]); sampled per item like the
+                  shared ColorJitter of mono_dataset.py:185-189
+
+Missing neighbour frames fall back to frame 0, matching
+mono_dataset.py:166-170.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .kitti_utils import generate_depth_map
+from .splits import parse_line
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+# normalized KITTI intrinsics (reference kitti_dataset.py:25-28)
+KITTI_K = np.array(
+    [[0.58, 0, 0.5, 0], [0, 1.92, 0.5, 0], [0, 0, 1, 0], [0, 0, 0, 1]],
+    dtype=np.float32,
+)
+FULL_RES_SHAPE = (1242, 375)
+SIDE_MAP = {"2": 2, "3": 3, "l": 2, "r": 3}
+
+
+def pil_load_resized(path: str, width: int, height: int, do_flip: bool) -> np.ndarray:
+    with open(path, "rb") as f:
+        with Image.open(f) as img:
+            img = img.convert("RGB")
+            img = img.resize((width, height), Image.LANCZOS)
+            if do_flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def sample_jitter(rng: random.Random) -> np.ndarray:
+    """brightness/contrast/saturation in [0.8, 1.2], hue in [-0.1, 0.1]
+    (reference mono_dataset.py:72-75)."""
+    return np.array(
+        [
+            rng.uniform(0.8, 1.2),
+            rng.uniform(0.8, 1.2),
+            rng.uniform(0.8, 1.2),
+            rng.uniform(-0.1, 0.1),
+        ],
+        dtype=np.float32,
+    )
+
+
+IDENTITY_JITTER = np.array([1.0, 1.0, 1.0, 0.0], dtype=np.float32)
+
+
+class KITTIDataset:
+    """Map-style dataset over split-file lines."""
+
+    def __init__(
+        self,
+        data_path: str,
+        filenames: Sequence[str],
+        height: int,
+        width: int,
+        frame_idxs: Sequence,
+        is_train: bool = False,
+        img_ext: str = ".jpg",
+        load_depth: Optional[bool] = None,
+        seed: int = 0,
+    ):
+        self.data_path = data_path
+        self.filenames = list(filenames)
+        self.height = height
+        self.width = width
+        self.frame_idxs = list(frame_idxs)
+        self.is_train = is_train
+        self.img_ext = img_ext
+        self.K = KITTI_K
+        self._rng = random.Random(seed)
+        self.load_depth = self.check_depth() if load_depth is None else load_depth
+
+    def __len__(self):
+        return len(self.filenames)
+
+    # --- per-subclass path layout ---
+    def get_image_path(self, folder, frame_index, side):
+        raise NotImplementedError
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        raise NotImplementedError
+
+    def check_depth(self) -> bool:
+        if not self.filenames:
+            return False
+        folder, frame_index, _ = parse_line(self.filenames[0])
+        velo = os.path.join(
+            self.data_path, folder,
+            "velodyne_points/data/{:010d}.bin".format(int(frame_index)),
+        )
+        return os.path.isfile(velo)
+
+    def get_color(self, folder, frame_index, side, do_flip):
+        path = self.get_image_path(folder, frame_index, side)
+        if not os.path.exists(path):
+            return None
+        return pil_load_resized(path, self.width, self.height, do_flip)
+
+    def __getitem__(self, index):
+        folder, frame_index, side = parse_line(self.filenames[index])
+        do_flip = self.is_train and self._rng.random() > 0.5
+        do_jitter = self.is_train and self._rng.random() > 0.5
+
+        inputs = {}
+        inputs[("color", 0)] = self.get_color(folder, frame_index, side, do_flip)
+        for i in self.frame_idxs:
+            if i == "s":
+                other = {"r": "l", "l": "r"}[side]
+                inputs[("color", i)] = self.get_color(folder, frame_index, other, do_flip)
+            elif i != 0:
+                color = self.get_color(folder, frame_index + i, side, do_flip)
+                inputs[("color", i)] = (
+                    color if color is not None else inputs[("color", 0)]
+                )
+
+        inputs["K"] = self.K.copy()
+        inputs["jitter"] = sample_jitter(self._rng) if do_jitter else IDENTITY_JITTER
+
+        if self.load_depth:
+            inputs["depth_gt"] = self.get_depth(folder, frame_index, side, do_flip)
+
+        if "s" in self.frame_idxs:
+            stereo_T = np.eye(4, dtype=np.float32)
+            baseline_sign = -1 if do_flip else 1
+            side_sign = -1 if side == "l" else 1
+            stereo_T[0, 3] = side_sign * baseline_sign * 0.1
+            inputs["stereo_T"] = stereo_T
+
+        return inputs
+
+
+class KITTIRAWDataset(KITTIDataset):
+    """Raw KITTI layout with velodyne GT (reference kitti_dataset.py:59-86)."""
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = "{:010d}{}".format(frame_index, self.img_ext)
+        return os.path.join(
+            self.data_path, folder,
+            "image_0{}/data".format(SIDE_MAP[side]), f_str,
+        )
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        calib_path = os.path.join(self.data_path, folder.split("/")[0])
+        velo = os.path.join(
+            self.data_path, folder,
+            "velodyne_points/data/{:010d}.bin".format(int(frame_index)),
+        )
+        depth_gt = generate_depth_map(calib_path, velo, SIDE_MAP[side])
+        depth_gt = _resize_nn(depth_gt, FULL_RES_SHAPE[::-1])
+        if do_flip:
+            depth_gt = np.fliplr(depth_gt).copy()
+        return depth_gt.astype(np.float32)
+
+
+class KITTIOdomDataset(KITTIDataset):
+    """Odometry layout (reference kitti_dataset.py:89-102)."""
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = "{:06d}{}".format(frame_index, self.img_ext)
+        return os.path.join(
+            self.data_path,
+            "sequences/{:02d}".format(int(folder)),
+            "image_{}".format(SIDE_MAP[side]),
+            f_str,
+        )
+
+    def check_depth(self):
+        return False
+
+
+class KITTIDepthDataset(KITTIDataset):
+    """Improved-GT png depth maps (reference kitti_dataset.py:105-135)."""
+
+    def get_image_path(self, folder, frame_index, side):
+        f_str = "{:010d}{}".format(frame_index, self.img_ext)
+        return os.path.join(
+            self.data_path, folder,
+            "image_0{}/data".format(SIDE_MAP[side]), f_str,
+        )
+
+    def get_depth(self, folder, frame_index, side, do_flip):
+        f_str = "{:010d}.png".format(frame_index)
+        depth_path = os.path.join(
+            self.data_path, folder,
+            "proj_depth/groundtruth/image_0{}".format(SIDE_MAP[side]), f_str,
+        )
+        with Image.open(depth_path) as img:
+            img = img.resize(FULL_RES_SHAPE, Image.NEAREST)
+            depth_gt = np.asarray(img).astype(np.float32) / 256.0
+        if do_flip:
+            depth_gt = np.fliplr(depth_gt).copy()
+        return depth_gt
+
+
+def _resize_nn(img: np.ndarray, out_hw) -> np.ndarray:
+    """Nearest-neighbour resize without skimage (order-0, preserve_range)."""
+    h, w = img.shape[:2]
+    oh, ow = out_hw
+    if (h, w) == (oh, ow):
+        return img
+    rows = np.minimum((np.arange(oh) * h / oh).astype(np.int64), h - 1)
+    cols = np.minimum((np.arange(ow) * w / ow).astype(np.int64), w - 1)
+    return img[rows][:, cols]

@@ -1,0 +1,176 @@
+"""Local windowed self-attention ("stand-alone self-attention") in Flax, NHWC.
+
+TPU-first re-design of the reference's AttentionConv (canonical copy:
+networks/attention.py:9-61; five near-duplicates elsewhere are unified here
+behind flags). Instead of PyTorch ``unfold`` (which materializes k^2 copies
+in a strided view), the k x k neighbourhood is gathered as k^2 shifted
+slices stacked on a window axis — a layout XLA turns into cheap dynamic
+slices that fuse with the softmax/weighted-sum epilogue.
+
+Semantics notes (verified against the reference):
+  * attention logits are **per-channel** (q * k elementwise), softmax over
+    the k^2 window axis; ``groups`` only affects parameter bookkeeping, not
+    the math (reference attention.py:43-50).
+  * the key window gets relative positional embeddings: the first C/2
+    channels get rel_h (varies along window row), the last C/2 get rel_w
+    (varies along window column) (attention.py:40-41).
+  * the fusion-family variant uses scalar (channel-shared) rel embeddings
+    (fusion_v2.py:57-58) — ``shared_rel=True``.
+  * 1x1 convs are applied to the *zero-padded* input; with bias=True the
+    pad ring therefore carries the bias value, which matters for border
+    pixels — we pad first, conv second, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def extract_windows(x, kernel_size: int):
+    """(B, H+k-1, W+k-1, C) padded input -> (B, H, W, k*k, C) windows.
+
+    Window axis is flattened row-major (kh * k + kw), matching torch
+    unfold(2).unfold(3) + view ordering.
+    """
+    k = kernel_size
+    B, Hp, Wp, C = x.shape
+    H, W = Hp - (k - 1), Wp - (k - 1)
+    slices = [
+        x[:, dh : dh + H, dw : dw + W, :]
+        for dh in range(k)
+        for dw in range(k)
+    ]
+    return jnp.stack(slices, axis=3)
+
+
+class AttentionConv(nn.Module):
+    out_channels: int
+    kernel_size: int
+    groups: int = 1
+    use_bias: bool = False
+    shared_rel: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        C = self.out_channels
+        pad = (k - 1) // 2
+
+        q = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                    dtype=self.dtype, name="query_conv")(x)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        key = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                      dtype=self.dtype, name="key_conv")(xp)
+        val = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                      dtype=self.dtype, name="value_conv")(xp)
+
+        kw = extract_windows(key, k)   # (B, H, W, k2, C)
+        vw = extract_windows(val, k)
+
+        if self.shared_rel:
+            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (k,))
+            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (k,))
+            # first half channels + rel_h[kh], second half + rel_w[kw]
+            rh = jnp.repeat(rel_h, k)                      # (k2,) varies by row
+            rw = jnp.tile(rel_w, k)                        # (k2,) varies by col
+            rel = jnp.concatenate(
+                [
+                    jnp.broadcast_to(rh[:, None], (k * k, C // 2)),
+                    jnp.broadcast_to(rw[:, None], (k * k, C - C // 2)),
+                ],
+                axis=-1,
+            )
+        else:
+            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (C // 2, k))
+            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (C // 2, k))
+            rh = jnp.repeat(rel_h, k, axis=1)              # (C/2, k2) by row
+            rw = jnp.tile(rel_w, (1, k))                   # (C/2, k2) by col
+            rel = jnp.concatenate([rh, rw], axis=0).T      # (k2, C)
+
+        kw = kw + rel.astype(kw.dtype)
+
+        logits = q[:, :, :, None, :] * kw                  # per-channel logits
+        attn = nn.softmax(logits, axis=3)
+        return jnp.sum(attn * vw, axis=3)
+
+
+class AttentionStem(nn.Module):
+    """Multi-value-projection attention stem (reference attention.py:63-127).
+
+    Not used by any reference trainer but part of the public model zoo.
+    """
+
+    out_channels: int
+    kernel_size: int
+    groups: int = 1
+    m: int = 4
+    use_bias: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        C = self.out_channels
+        pad = (k - 1) // 2
+        cg = C // self.groups
+
+        q = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                    dtype=self.dtype, name="query_conv")(x)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        key = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                      dtype=self.dtype, name="key_conv")(xp)
+        vals = [
+            nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
+                    dtype=self.dtype, name=f"value_conv_{i}")(xp)
+            for i in range(self.m)
+        ]
+
+        emb_a = self.param("emb_a", nn.initializers.normal(1.0), (cg, k))
+        emb_b = self.param("emb_b", nn.initializers.normal(1.0), (cg, k))
+        emb_mix = self.param("emb_mix", nn.initializers.normal(1.0), (self.m, cg))
+
+        logit_a = emb_mix @ emb_a                          # (m, k)
+        logit_b = emb_mix @ emb_b                          # (m, k)
+        emb = logit_a[:, :, None] + logit_b[:, None, :]    # (m, k, k)
+        emb = nn.softmax(emb.reshape(self.m, -1), axis=0)  # softmax over m
+        emb = emb.reshape(self.m, k * k)                   # (m, k2)
+
+        kw = extract_windows(key, k)                       # (B, H, W, k2, C)
+        vws = jnp.stack([extract_windows(v, k) for v in vals], axis=0)  # (m,B,H,W,k2,C)
+        vw = jnp.sum(emb[:, None, None, None, :, None].astype(vws.dtype) * vws, axis=0)
+
+        logits = q[:, :, :, None, :] * kw
+        attn = nn.softmax(logits, axis=3)
+        return jnp.sum(attn * vw, axis=3)
+
+
+class ResidualAttentionUnit(nn.Module):
+    """relu-atten-relu-atten + skip (reference fusion_v2.py:105-137).
+
+    The fusion_v2 blocks construct AttentionConv with bias=True and scalar
+    (channel-shared) rel embeddings (fusion_v2.py:115-121); the rnn.py copy
+    uses per-channel rel embeddings with kernel hard-coded to 3
+    (rnn.py:578,582-583) — select with ``shared_rel``.
+    """
+
+    features: int
+    shared_rel: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        out = nn.relu(x)
+        out = AttentionConv(self.features, 3, use_bias=True,
+                            shared_rel=self.shared_rel,
+                            dtype=self.dtype, name="atten1")(out)
+        out = nn.relu(out)
+        out = AttentionConv(self.features, 3, use_bias=True,
+                            shared_rel=self.shared_rel,
+                            dtype=self.dtype, name="atten2")(out)
+        return out + x

@@ -1,0 +1,290 @@
+"""ConvGRU / ConvLSTM recurrent depth heads in Flax (NHWC).
+
+Re-design of reference ``networks/rnn.py`` (1306 LoC, versions v1..v10 as
+near-duplicate classes) into one parameterized family:
+
+  * :class:`ConvGRUCell` — conv gates (reset/update) + tanh candidate
+    (reference rnn.py:101-140);
+  * :class:`ConvLSTMCell` — single conv producing i,f,o,g (rnn.py:32-79);
+  * :class:`ConvGRUBlocks` — the per-scale block, ``version`` selects the
+    wiring (v1 rnn.py:187-265, v2 :270-368, v3 :796-870, v4 :874-957,
+    v5 :960-1028, v7 :1032-1104, v8 :371-469, v9/v10 :472-569);
+  * :class:`Head` — the external conv heads for v4/v6/v7 (rnn.py:909-957,
+    1107-1130).
+
+Each block step is a pure function ``(dec_outputs, hidden) -> (hidden',
+disp_or_None)`` so trainers unroll time with ``jax.lax.scan`` instead of
+the reference's Python loop (trainer_gru.py:383-397). Learned initial
+hidden states are parameters (``h0`` / ``c0``), exposed via
+``initial_state``; resolutions are derived from (height, width) rather
+than hard-coded to 640x192.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.image import pixel_shuffle
+from .common import Conv3x3
+from .fusion import GRUFusionBlock, GRUFusionBlock_v2
+
+
+class ConvGRUCell(nn.Module):
+    hidden_dim: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, h):
+        k = self.kernel_size
+        combined = jnp.concatenate([x, h], axis=-1)
+        gates = nn.Conv(2 * self.hidden_dim, (k, k), padding=k // 2,
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="conv_gates")(combined)
+        gamma, beta = jnp.split(gates, 2, axis=-1)
+        reset = nn.sigmoid(gamma)
+        update = nn.sigmoid(beta)
+        combined = jnp.concatenate([x, reset * h], axis=-1)
+        cand = jnp.tanh(
+            nn.Conv(self.hidden_dim, (k, k), padding=k // 2,
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv_can")(combined)
+        )
+        return (1.0 - update) * h + update * cand
+
+
+class ConvLSTMCell(nn.Module):
+    hidden_dim: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, state):
+        h, c = state
+        k = self.kernel_size
+        combined = jnp.concatenate([x, h], axis=-1)
+        conv = nn.Conv(4 * self.hidden_dim, (k, k), padding=k // 2,
+                       use_bias=self.use_bias, dtype=self.dtype,
+                       name="conv")(combined)
+        i, f, o, g = jnp.split(conv, 4, axis=-1)
+        c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h_next = nn.sigmoid(o) * jnp.tanh(c_next)
+        return h_next, c_next
+
+
+class RecurrentUnit(nn.Module):
+    """One per-scale recurrent cell with a learnable initial state.
+
+    Mirrors reference ConvGRUModel_v1 / ConvLSTMModel_v1 (rnn.py:82-163):
+    h0 (and c0 for LSTM) are trainable parameters of shape (1, H, W, C)
+    broadcast over batch.
+    """
+
+    hidden_dim: int
+    height: int
+    width: int
+    cell: str = "gru"  # "gru" | "lstm"
+    kernel_size: int = 3
+    dtype: Any = None
+
+    def setup(self):
+        shape = (1, self.height, self.width, self.hidden_dim)
+        self.h0 = self.param("h0", nn.initializers.zeros, shape)
+        if self.cell == "lstm":
+            self.c0 = self.param("c0", nn.initializers.zeros, shape)
+            self._cell = ConvLSTMCell(self.hidden_dim, self.kernel_size,
+                                      dtype=self.dtype, name="cell")
+        else:
+            self._cell = ConvGRUCell(self.hidden_dim, self.kernel_size,
+                                     dtype=self.dtype, name="cell")
+
+    def initial_state(self, batch_size: int):
+        h = jnp.broadcast_to(self.h0, (batch_size,) + self.h0.shape[1:])
+        if self.cell == "lstm":
+            c = jnp.broadcast_to(self.c0, (batch_size,) + self.c0.shape[1:])
+            return (h, c)
+        return h
+
+    def __call__(self, x, state):
+        return self._cell(x, state)
+
+
+# (input_dims, hidden_dims, cell, needs_external_head, n_scales)
+GRU_HIDDEN_SPECS = {
+    "v1": dict(in_ch=(1, 1, 1, 1), hid=(1, 1, 1, 1), cell="gru"),
+    "v2": dict(in_ch=(2, 2, 2, 1), hid=(2, 2, 2, 2), cell="gru"),
+    "v3": dict(in_ch=(16, 32, 64, 128), hid=(16, 32, 64, 128), cell="gru"),
+    "v4": dict(in_ch=(16, 32, 64, 128), hid=(16, 32, 64, 128), cell="gru"),
+    "v5": dict(in_ch=(64, 64, 128, 256, 512), hid=(64, 64, 128, 256, 512), cell="gru"),
+    "v7": dict(in_ch=(32, 64, 128, 128), hid=(32, 64, 128, 256), cell="gru"),
+    "v8": dict(in_ch=(32, 64, 128, 128), hid=(32, 64, 128, 256), cell="lstm"),
+    "v9": dict(in_ch=(32, 64, 128, 128), hid=(32, 64, 128, 256), cell="gru"),
+    "v10": dict(in_ch=(32, 64, 128, 128), hid=(32, 64, 128, 256), cell="gru"),
+}
+
+
+class ConvGRUBlocks(nn.Module):
+    """Per-scale recurrent blocks, one step.
+
+    ``version`` selects the reference wiring (see module docstring).
+    (height, width) is the scale-0 resolution; scale s runs at
+    (H/2^s, W/2^s) — except v5, which sits inside the encoder skips at
+    (H/2^(s+1), W/2^(s+1)) (rnn.py:960-1028).
+    """
+
+    version: str = "v9"
+    height: int = 192
+    width: int = 640
+    attention: bool = True
+    dtype: Any = None
+
+    def setup(self):
+        spec = GRU_HIDDEN_SPECS[self.version]
+        self.cell_kind = spec["cell"]
+        n = len(spec["hid"])
+        units = []
+        for s in range(n):
+            div = 2 ** (s + 1) if self.version == "v5" else 2**s
+            units.append(
+                RecurrentUnit(
+                    spec["hid"][s],
+                    self.height // div,
+                    self.width // div,
+                    cell=spec["cell"],
+                    dtype=self.dtype,
+                    name=f"cgru_{s}",
+                )
+            )
+        self.units = units
+
+        if self.version == "v1":
+            self.heads = [Conv3x3(1, dtype=self.dtype, name=f"conv3x3_{s}")
+                          for s in range(4)]
+        elif self.version == "v3":
+            self.heads = [Conv3x3(1, dtype=self.dtype, name=f"conv3x3_{s}")
+                          for s in range(4)]
+        elif self.version == "v2":
+            self.fusions = [
+                GRUFusionBlock(2, up=(s > 0), attention=self.attention,
+                               dtype=self.dtype, name=f"fusion_{s}")
+                for s in range(4)
+            ]
+        elif self.version in ("v8", "v9", "v10"):
+            feats = (32, 64, 128, 256)
+            att = self.attention and self.version != "v10"
+            self.fusions = [
+                GRUFusionBlock_v2(feats[s], up=(s > 0), attention=att,
+                                  dtype=self.dtype, name=f"fusion_{s}")
+                for s in range(4)
+            ]
+
+    def initial_state(self, batch_size: int):
+        return [u.initial_state(batch_size) for u in self.units]
+
+    def _hidden_of(self, state):
+        return state[0] if self.cell_kind == "lstm" else state
+
+    def __call__(self, dec_outputs, hidden_states):
+        v = self.version
+        if v in ("v1", "v3"):
+            new = [self.units[s](dec_outputs[("disp", s)], hidden_states[s])
+                   for s in range(4)]
+            disp = {("disp", s): nn.sigmoid(self.heads[s](new[s]))
+                    for s in range(4)}
+            return new, disp
+
+        if v == "v4":
+            new = [self.units[s](dec_outputs[("disp", s)], hidden_states[s])
+                   for s in range(4)]
+            return new, None
+
+        if v == "v5":
+            # dec_outputs is the list of 5 encoder feature maps here
+            new = [self.units[s](dec_outputs[s], hidden_states[s])
+                   for s in range(5)]
+            return new, None
+
+        if v == "v7":
+            new = [None] * 4
+            out3 = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
+            up = pixel_shuffle(out3, 2)
+            new[3] = out3
+            for s in (2, 1, 0):
+                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                out = self.units[s](x, hidden_states[s])
+                new[s] = out
+                if s > 0:
+                    up = pixel_shuffle(out, 2)
+            return new, None
+
+        if v == "v2":
+            disp = {}
+            new = [None] * 4
+            # scale 3: gru input is the raw coarsest disp (1 ch)
+            new[3] = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
+            fin1 = jnp.concatenate([dec_outputs[("disp", 3)]] * 2, axis=-1)
+            disp[("disp", 3)], up = self.fusions[3](fin1, new[3])
+            for s in (2, 1, 0):
+                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                new[s] = self.units[s](x, hidden_states[s])
+                if s > 0:
+                    disp[("disp", s)], up = self.fusions[s](x, new[s])
+                else:
+                    disp[("disp", 0)] = self.fusions[0](x, new[0])
+            return new, disp
+
+        if v in ("v8", "v9", "v10"):
+            disp = {}
+            new = [None] * 4
+            new[3] = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
+            fin1 = jnp.concatenate([dec_outputs[("disp", 3)]] * 2, axis=-1)
+            # temporal fusion: average of previous and new hidden
+            h_mix = (self._hidden_of(hidden_states[3]) + self._hidden_of(new[3])) / 2
+            disp[("disp", 3)], up = self.fusions[3](fin1, h_mix)
+            for s in (2, 1, 0):
+                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                new[s] = self.units[s](x, hidden_states[s])
+                h_mix = (self._hidden_of(hidden_states[s]) + self._hidden_of(new[s])) / 2
+                if s > 0:
+                    disp[("disp", s)], up = self.fusions[s](x, h_mix)
+                else:
+                    disp[("disp", 0)] = self.fusions[0](x, h_mix)
+            return new, disp
+
+        raise ValueError(f"unknown gru version {v!r}")
+
+
+class Head(nn.Module):
+    """External sigmoid conv heads for v4/v6 (16/32/64/128 ch, rnn.py:909-957)
+    and v7 (32/64/128/256 ch, rnn.py:1107-1130)."""
+
+    channels: Tuple[int, ...] = (16, 32, 64, 128)
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, outputs, zero_scale_only: bool = False):
+        disp = {}
+        scales = (0,) if zero_scale_only else (0, 1, 2, 3)
+        for s in scales:
+            x = outputs[s] if isinstance(outputs, (list, tuple)) else outputs[("disp", s)]
+            disp[("disp", s)] = nn.sigmoid(
+                Conv3x3(1, dtype=self.dtype, name=f"conv3x3_{s}")(x)
+            )
+        return disp
+
+
+def make_gru(version: str, height: int, width: int, attention: bool = True,
+             dtype=None) -> ConvGRUBlocks:
+    """Factory mirroring the reference's --gru_version selector
+    (trainer_gru.py:108-155). v6 maps to v4 wiring (its attention-GRU cell
+    is commented out in the reference, rnn.py:1252-1307)."""
+    if version == "v6":
+        version = "v4"
+    if version == "v2_wo_att":
+        return ConvGRUBlocks("v2", height, width, attention=False, dtype=dtype)
+    return ConvGRUBlocks(version, height, width, attention=attention, dtype=dtype)

@@ -1,0 +1,52 @@
+"""Device mesh + sharding for data-parallel training over ICI.
+
+The reference's only parallelism is manual model-parallel placement via
+per-module ``cuda:N`` flags and explicit ``.to(device)`` tensor shuffling
+(reference trainer.py:44-111, 259-373, options.py:133-162). On TPU that
+whole layer disappears: we build one ``jax.sharding.Mesh`` over the chips,
+shard the batch axis with a NamedSharding, replicate parameters, and let
+XLA insert the gradient AllReduce over ICI during ``jit`` compilation.
+
+Batch-norm note: statistics are computed over the *global* (sharded) batch
+axis, so data-parallel training uses sync-BN semantics — the mean/variance
+reductions become cross-device collectives automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """1-D data-parallel mesh over ICI. ``num_devices==0`` -> all devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    """Fully replicated (parameters, optimizer state, scalars)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, batch-axis sharded."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def host_to_device(tree, sharding):
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)

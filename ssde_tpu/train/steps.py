@@ -1,0 +1,283 @@
+"""Jitted training steps: the self-supervised monodepth core.
+
+One fused XLA program per optimizer step: device-side preprocessing ->
+depth + pose forward -> differentiable warp -> min-reprojection/automask
+loss -> grads -> Adam. Compare the reference's Python-orchestrated
+process_batch (trainer.py:247-373) with manual cross-GPU tensor shuffling;
+here placement and gradient reduction are handled by jit + NamedSharding.
+
+Mixed precision: model forward/backward runs in ``compute_dtype``
+(bfloat16 by default — MXU native), while the photometric loss, geometry
+and parameters stay float32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Options
+from ..data.transforms import preprocess_batch
+from ..models import DepthDecoder, PoseCNN, PoseDecoder, ResnetEncoder
+from ..models.attention_resnet import ResnetEncoderAttention
+from ..ops import (
+    disp_to_depth,
+    grid_sample,
+    reproject_coords,
+    resize_bilinear,
+    smooth_loss,
+    transformation_from_parameters,
+)
+from ..ops.losses import photometric_loss
+
+
+@dataclasses.dataclass
+class MonoModels:
+    """Module bundle for the monodepth2-style trainer."""
+
+    encoder: Any
+    depth: Any
+    pose_encoder: Optional[Any]
+    pose: Any
+    opts: Options
+
+    @property
+    def source_ids(self) -> Sequence[int]:
+        # the reference hard-codes loss/warp sources to [-1, 1] regardless of
+        # --frame_ids (trainer.py:550,558); stereo adds "s"
+        ids = [-1, 1]
+        if self.opts.use_stereo:
+            ids.append("s")
+        return ids
+
+
+def build_mono_models(opts: Options, attention_encoder: bool = False) -> MonoModels:
+    dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else None
+    enc_cls = ResnetEncoderAttention if attention_encoder else ResnetEncoder
+    encoder = enc_cls(opts.num_layers, dtype=dtype)
+    depth = DepthDecoder(scales=tuple(opts.scales), dtype=dtype)
+    if opts.pose_model_type == "posecnn":
+        pose_encoder = None
+        pose = PoseCNN(num_input_frames=2, dtype=dtype)
+    else:
+        pose_encoder = ResnetEncoder(opts.num_layers, num_input_images=2, dtype=dtype)
+        pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2,
+                           dtype=dtype)
+    return MonoModels(encoder, depth, pose_encoder, pose, opts)
+
+
+def init_mono_params(models: MonoModels, rng, sample_inputs):
+    """Initialize all params/batch_stats from one preprocessed batch."""
+    opts = models.opts
+    params, batch_stats = {}, {}
+    x0 = sample_inputs[("color_aug", 0, 0)]
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+    v = models.encoder.init(k1, x0, True)
+    params["encoder"] = v["params"]
+    batch_stats["encoder"] = v.get("batch_stats", {})
+
+    feats = models.encoder.apply(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+        x0, False,
+    )
+    params["depth"] = models.depth.init(k2, feats)["params"]
+
+    pair = jnp.concatenate([x0, x0], axis=-1)
+    if models.pose_encoder is not None:
+        v = models.pose_encoder.init(k3, pair, True)
+        params["pose_encoder"] = v["params"]
+        batch_stats["pose_encoder"] = v.get("batch_stats", {})
+        pfeats = models.pose_encoder.apply(
+            {"params": params["pose_encoder"],
+             "batch_stats": batch_stats["pose_encoder"]},
+            pair, False,
+        )
+        params["pose"] = models.pose.init(k4, [pfeats])["params"]
+    else:
+        params["pose"] = models.pose.init(k4, pair)["params"]
+    return params, batch_stats
+
+
+def _apply_bn(module, params, batch_stats, *args, train: bool):
+    """Apply a module that owns BatchNorm state."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mut = module.apply(variables, *args, True, mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    return module.apply(variables, *args, False), batch_stats
+
+
+def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool):
+    """Per-source-frame SE(3) prediction (reference trainer.py:375-442).
+
+    Pose pairs are ordered temporally: (f, 0) for f<0 and (0, f) for f>0,
+    with ``invert=f<0``.
+    """
+    opts = models.opts
+    outputs = {}
+    new_bs = {}
+    frames = {i: inputs[("color_aug", i, 0)] for i in opts.frame_ids if i != "s"}
+    for f in opts.frame_ids[1:]:
+        if f == "s":
+            continue
+        if f < 0:
+            pair = jnp.concatenate([frames[f], frames[0]], axis=-1)
+        else:
+            pair = jnp.concatenate([frames[0], frames[f]], axis=-1)
+        if models.pose_encoder is not None:
+            pfeats, bs = _apply_bn(
+                models.pose_encoder, params["pose_encoder"],
+                batch_stats.get("pose_encoder", {}), pair, train=train,
+            )
+            new_bs["pose_encoder"] = bs
+            aa, t = models.pose.apply({"params": params["pose"]}, [pfeats])
+        else:
+            aa, t = models.pose.apply({"params": params["pose"]}, pair)
+        outputs[("axisangle", 0, f)] = aa
+        outputs[("translation", 0, f)] = t
+        outputs[("cam_T_cam", 0, f)] = transformation_from_parameters(
+            aa[:, 0].astype(jnp.float32), t[:, 0].astype(jnp.float32),
+            invert=(f < 0),
+        )
+    return outputs, new_bs
+
+
+def generate_images_pred(inputs, outputs, opts: Options, source_ids):
+    """Warp source frames into frame 0 using predicted depth + pose
+    (reference trainer.py:465-515)."""
+    H, W = opts.height, opts.width
+    for scale in opts.scales:
+        disp = outputs[("disp", scale)].astype(jnp.float32)
+        if opts.v1_multiscale:
+            source_scale = scale
+        else:
+            disp = resize_bilinear(disp, (H, W), align_corners=False)
+            source_scale = 0
+        _, depth = disp_to_depth(disp, opts.min_depth, opts.max_depth)
+        outputs[("depth", 0, scale)] = depth
+
+        for f in source_ids:
+            if f == "s":
+                T = inputs["stereo_T"]
+            else:
+                T = outputs[("cam_T_cam", 0, f)]
+            if opts.pose_model_type == "posecnn" and f != "s":
+                aa = outputs[("axisangle", 0, f)].astype(jnp.float32)
+                t = outputs[("translation", 0, f)].astype(jnp.float32)
+                inv_depth = 1.0 / depth
+                mean_inv_depth = jnp.mean(inv_depth, axis=(1, 2), keepdims=True)
+                T = transformation_from_parameters(
+                    aa[:, 0], t[:, 0] * mean_inv_depth[:, 0, 0][:, None], f < 0
+                )
+            pix = reproject_coords(
+                depth,
+                inputs[("inv_K", source_scale)].astype(jnp.float32),
+                inputs[("K", source_scale)].astype(jnp.float32),
+                T,
+            )
+            outputs[("sample", f, scale)] = pix
+            outputs[("color", f, scale)] = grid_sample(
+                inputs[("color", f, source_scale)].astype(jnp.float32), pix
+            )
+    return outputs
+
+
+def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
+    """Min-reprojection + automask + smoothness over scales
+    (reference trainer.py:517-622)."""
+    losses = {}
+    total = 0.0
+    for scale in opts.scales:
+        source_scale = scale if opts.v1_multiscale else 0
+        disp = outputs[("disp", scale)].astype(jnp.float32)
+        color = inputs[("color", 0, scale)].astype(jnp.float32)
+        target = inputs[("color", 0, source_scale)].astype(jnp.float32)
+
+        preds = [outputs[("color", f, scale)] for f in source_ids]
+        idents = [
+            inputs[("color", f, source_scale)].astype(jnp.float32)
+            for f in source_ids
+        ]
+        key = None
+        if rng is not None and not opts.disable_automasking:
+            rng, key = jax.random.split(rng)
+        per_pixel, mask = photometric_loss(
+            preds, idents, target, key,
+            no_ssim=opts.no_ssim,
+            disable_automasking=opts.disable_automasking,
+            avg_reprojection=opts.avg_reprojection,
+        )
+        outputs[f"identity_selection/{scale}"] = mask
+        loss = jnp.mean(per_pixel)
+
+        mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
+        norm_disp = disp / (mean_disp + 1e-7)
+        loss = loss + opts.disparity_smoothness * smooth_loss(norm_disp, color) / (
+            2**scale
+        )
+        losses[f"loss/{scale}"] = loss
+        total = total + loss
+    losses["loss"] = total / len(opts.scales)
+    return losses
+
+
+def mono_loss_fn(models: MonoModels, params, batch_stats, inputs, rng,
+                 train: bool = True):
+    """Full forward: encoder -> depth -> poses -> warp -> loss."""
+    opts = models.opts
+    new_bs = dict(batch_stats)
+    x0 = inputs[("color_aug", 0, 0)]
+    dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
+    x0 = x0.astype(dtype)
+
+    feats, bs = _apply_bn(models.encoder, params["encoder"],
+                          batch_stats.get("encoder", {}), x0, train=train)
+    new_bs["encoder"] = bs
+    outputs = models.depth.apply({"params": params["depth"]}, feats)
+
+    pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
+    outputs.update(pose_out)
+    new_bs.update(pose_bs)
+
+    outputs = generate_images_pred(inputs, outputs, opts, models.source_ids)
+    losses = compute_losses(inputs, outputs, opts, models.source_ids, rng)
+    return losses["loss"], (new_bs, losses, outputs)
+
+
+def make_mono_train_step(models: MonoModels) -> Callable:
+    """Build the jitted train step: (state, host_batch, rng) -> (state, losses)."""
+    opts = models.opts
+
+    def step(state, batch, rng):
+        inputs = preprocess_batch(
+            batch, opts.height, opts.width, opts.num_scales,
+            [i for i in opts.frame_ids], is_train=True,
+        )
+        # sources [-1,1] must exist even if frame_ids was overridden
+        def loss_fn(params):
+            return mono_loss_fn(models, params, state.batch_stats, inputs, rng)
+
+        grads, (new_bs, losses, _) = jax.grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return new_state, losses
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_mono_infer_fn(models: MonoModels) -> Callable:
+    """(params, batch_stats, images) -> disparity at scale 0 (eval mode)."""
+
+    def infer(params, batch_stats, images):
+        feats = models.encoder.apply(
+            {"params": params["encoder"],
+             "batch_stats": batch_stats.get("encoder", {})},
+            images, False,
+        )
+        outputs = models.depth.apply({"params": params["depth"]}, feats)
+        return outputs[("disp", 0)].astype(jnp.float32)
+
+    return jax.jit(infer)

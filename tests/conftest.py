@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# Exact f32 contractions for golden-value comparison against torch: JAX's
+# DEFAULT matmul precision may run f32 matmuls/convs through bf16 passes.
+jax.config.update("jax_default_matmul_precision", "float32")
+
 import numpy as np
 import pytest
 
