@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: KITTI 640x192 self-supervised training samples/sec on one chip.
+
+Runs the full jitted monodepth2-style train step (encoder + depth + pose
+forward, warp, min-reprojection loss, backward, Adam) in bfloat16 on
+synthetic device-resident data, and prints ONE JSON line.
+
+``vs_baseline``: the north star is >=5000 samples/s on a v5p-8
+(BASELINE.json), i.e. 625 samples/s/chip; we report our per-chip
+throughput relative to that share.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    from ssde_tpu.config import Options
+    from ssde_tpu.data import make_synthetic_batch
+    from ssde_tpu.data.transforms import preprocess_batch
+    from ssde_tpu.train import (
+        TrainState,
+        build_mono_models,
+        create_optimizer,
+        init_mono_params,
+        make_mono_train_step,
+    )
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    opts = Options(
+        height=192, width=640, batch_size=batch_size, num_layers=18,
+        compute_dtype="bfloat16", frame_ids=[0, -1, 1], scales=[0, 1, 2, 3],
+    )
+    models = build_mono_models(opts)
+    batch = make_synthetic_batch(batch_size, opts.height, opts.width)
+    batch = jax.tree.map(jax.device_put, batch)
+    inputs = preprocess_batch(batch, opts.height, opts.width, opts.num_scales,
+                              opts.frame_ids)
+    params, batch_stats = init_mono_params(models, jax.random.PRNGKey(0), inputs)
+    tx = create_optimizer(1e-4, 15, 1000)
+    state = TrainState.create(params, batch_stats, tx)
+
+    step = make_mono_train_step(models)
+    rng = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, losses = step(state, batch, k)
+    jax.block_until_ready(losses["loss"])
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, k = jax.random.split(rng)
+        state, losses = step(state, batch, k)
+    jax.block_until_ready(losses["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = batch_size * n_steps / dt
+    per_chip_target = 5000.0 / 8.0  # v5p-8 north star, per chip
+    print(json.dumps({
+        "metric": "kitti_640x192_train_samples_per_sec_per_chip",
+        "value": round(samples_per_sec, 2),
+        "unit": "samples/s",
+        "vs_baseline": round(samples_per_sec / per_chip_target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,272 @@
+"""Jitted train step for recurrent (ConvGRU/ConvLSTM) sequence training.
+
+Re-design of reference ``trainer_gru.py`` run_gru_v2..v10
+(trainer_gru.py:350-764): the T-step Python loop becomes ``jax.lax.scan``
+over the time axis with the GRU block as the scanned cell, and the whole
+sequence step (encoder over B*T frames -> scan -> warp -> loss -> grads)
+is one XLA program.
+
+Correctness notes vs the reference:
+  * the reference mixes B-major (GRU outputs, trainer_gru.py:397-399) and
+    T-major (poses/colors, :817-820) flattenings and is therefore only
+    consistent for batch_size 1 (v5/v7 say so explicitly, :596,650). We
+    flatten B-major everywhere, correct for any batch size.
+  * the per-timestep inputs/losses flow through the same
+    generate_images_pred / compute_losses as the mono step, on the
+    flattened (B*T) batch — exactly the reference's "batch the time axis"
+    trick (trainer_gru.py:356-364) without the device shuffling.
+  * v7's "fusion before gru" (h_curr + h_prev)/2 (trainer_gru.py:689-697)
+    is carried as a (h_curr, h_prev) scan state.
+  * scan bodies are rematerialized (jax.checkpoint) so T=10 full-res
+    hidden states don't blow HBM during backward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Options
+from ..data.transforms import preprocess_batch
+from ..models import (
+    ConvGRUBlocks,
+    DepthDecoder,
+    Head,
+    PoseDecoder,
+    ResnetEncoder,
+    make_gru,
+)
+from .steps import _apply_bn, compute_losses, generate_images_pred, predict_poses
+
+HEAD_VERSIONS = {"v4": (16, 32, 64, 128), "v6": (16, 32, 64, 128),
+                 "v7": (32, 64, 128, 256)}
+PRE_DISP_VERSIONS = {"v3", "v4", "v6", "v7", "v8", "v9", "v10"}
+
+
+@dataclasses.dataclass
+class GRUModels:
+    encoder: Any
+    depth: Any
+    gru: ConvGRUBlocks
+    head: Optional[Head]
+    pose_encoder: Any
+    pose: Any
+    opts: Options
+
+    source_ids = (-1, 1)
+
+
+def build_gru_models(opts: Options) -> GRUModels:
+    dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else None
+    encoder = ResnetEncoder(opts.num_layers, dtype=dtype)
+    depth = DepthDecoder(scales=tuple(opts.scales), dtype=dtype)
+    gru = make_gru(opts.gru_version, opts.height, opts.width,
+                   attention=not opts.disable_attention, dtype=dtype)
+    head = None
+    if opts.gru_version in HEAD_VERSIONS:
+        head = Head(channels=HEAD_VERSIONS[opts.gru_version], dtype=dtype)
+    pose_encoder = ResnetEncoder(opts.num_layers, num_input_images=2, dtype=dtype)
+    pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2,
+                       dtype=dtype)
+    return GRUModels(encoder, depth, gru, head, pose_encoder, pose, opts)
+
+
+def preprocess_gru_batch(batch, opts: Options, is_train: bool = True):
+    """(B, T, H, W, 3) sequence batch -> flattened (B*T) mono-style inputs."""
+    flat = {}
+    B, T = batch[("color", 0)].shape[:2]
+    for i in (0, -1, 1):
+        x = batch[("color", i)]
+        flat[("color", i)] = x.reshape((B * T,) + x.shape[2:])
+    flat["K"] = jnp.repeat(batch["K"], T, axis=0)
+    if "jitter" in batch:
+        flat["jitter"] = jnp.repeat(batch["jitter"], T, axis=0)
+    inputs = preprocess_batch(flat, opts.height, opts.width, opts.num_scales,
+                              [0, -1, 1], is_train=is_train)
+    return inputs, B, T
+
+
+def _to_time_major(x, B, T):
+    return x.reshape((B, T) + x.shape[1:]).swapaxes(0, 1)
+
+
+def _to_flat(x, B, T):
+    return x.swapaxes(0, 1).reshape((B * T,) + x.shape[2:])
+
+
+def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
+    """Version-dispatched lax.scan over the time axis.
+
+    Input: per-scale decoder outputs (or encoder features for v5) with
+    flattened (B*T) batch. Returns dict ('disp', s) -> (B*T, h, w, 1).
+    """
+    opts = models.opts
+    version = opts.gru_version
+    gru_params = {"params": params["gru"]}
+    h0 = models.gru.apply(gru_params, B, method=ConvGRUBlocks.initial_state)
+
+    if version == "v5":
+        feats_t = [_to_time_major(f, B, T) for f in dec_or_feats]
+
+        @jax.checkpoint
+        def step(h, feats):
+            h_new, _ = models.gru.apply(gru_params, list(feats), h)
+            return h_new, h_new
+
+        _, h_seq = jax.lax.scan(step, h0, tuple(feats_t))
+        # prepend h0, temporal fusion (h[t] + h[t+1]) / 2 added to features
+        fused = []
+        for s in range(5):
+            hs = jnp.concatenate([h0[s][None], h_seq[s]], axis=0)  # (T+1, B, ...)
+            mix = (hs[1:] + hs[:-1]) / 2
+            fused.append(dec_or_feats[s] + _to_flat(mix, B, T))
+        return models.depth.apply({"params": params["depth"]}, fused)
+
+    dec_t = {k: _to_time_major(v, B, T) for k, v in dec_or_feats.items()}
+
+    if version in ("v1", "v2", "v2_wo_att", "v3", "v8", "v9", "v10"):
+
+        @jax.checkpoint
+        def step(h, dec):
+            h_new, disp = models.gru.apply(gru_params, dec, h)
+            return h_new, disp
+
+        _, disp_seq = jax.lax.scan(step, h0, dec_t)
+        return {k: _to_flat(v, B, T) for k, v in disp_seq.items()}
+
+    if version in ("v4", "v6"):
+
+        @jax.checkpoint
+        def step(h, dec):
+            h_new, _ = models.gru.apply(gru_params, dec, h)
+            return h_new, h_new
+
+        _, h_seq = jax.lax.scan(step, h0, dec_t)
+        outputs = {}
+        for s in range(4):
+            hs = jnp.concatenate([h0[s][None], h_seq[s]], axis=0)
+            mix = (hs[1:] + hs[:-1]) / 2  # --fuse aggregation
+            outputs[("disp", s)] = dec_or_feats[("disp", s)] + _to_flat(mix, B, T)
+        return models.head.apply({"params": params["head"]}, outputs)
+
+    if version == "v7":
+
+        @jax.checkpoint
+        def step(carry, dec):
+            h_curr, h_prev = carry
+            h_in = [(c + p) / 2 for c, p in zip(h_curr, h_prev)]
+            h_new, _ = models.gru.apply(gru_params, dec, h_in)
+            return (h_new, h_curr), h_new
+
+        _, h_seq = jax.lax.scan(step, (h0, h0), dec_t)
+        outputs = [_to_flat(h_seq[s], B, T) for s in range(4)]
+        return models.head.apply({"params": params["head"]}, outputs)
+
+    raise ValueError(f"unsupported gru version {version!r}")
+
+
+def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
+                train: bool = True):
+    opts = models.opts
+    dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
+    new_bs = dict(batch_stats)
+
+    x = inputs[("color_aug", 0, 0)].astype(dtype)  # (B*T, H, W, 3)
+    feats, bs = _apply_bn(models.encoder, params["encoder"],
+                          batch_stats.get("encoder", {}), x, train=train)
+    new_bs["encoder"] = bs
+
+    if opts.gru_version == "v5":
+        outputs = gru_unroll(models, params, feats, B, T)
+    else:
+        pre_disp = opts.gru_version in PRE_DISP_VERSIONS and bool(opts.gru_pre_disp)
+        dec = models.depth.apply({"params": params["depth"]}, feats,
+                                 pre_disp=pre_disp)
+        outputs = gru_unroll(models, params, dec, B, T)
+
+    pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
+    outputs.update(pose_out)
+    new_bs.update(pose_bs)
+
+    outputs = generate_images_pred(inputs, outputs, opts, models.source_ids)
+    losses = compute_losses(inputs, outputs, opts, models.source_ids, rng)
+    return losses["loss"], (new_bs, losses, outputs)
+
+
+def init_gru_params(models: GRUModels, rng, batch):
+    """Initialize all modules from one (small) sequence batch."""
+    opts = models.opts
+    inputs, B, T = preprocess_gru_batch(batch, opts, is_train=False)
+    params, batch_stats = {}, {}
+    keys = jax.random.split(rng, 6)
+
+    x = inputs[("color_aug", 0, 0)]
+    v = models.encoder.init(keys[0], x, True)
+    params["encoder"] = v["params"]
+    batch_stats["encoder"] = v.get("batch_stats", {})
+    feats = models.encoder.apply(
+        {"params": params["encoder"], "batch_stats": batch_stats["encoder"]},
+        x, False,
+    )
+
+    pre_disp = opts.gru_version in PRE_DISP_VERSIONS and bool(opts.gru_pre_disp)
+    params["depth"] = models.depth.init(keys[1], feats, pre_disp=pre_disp)["params"]
+    dec = models.depth.apply({"params": params["depth"]}, feats, pre_disp=pre_disp)
+
+    if opts.gru_version == "v5":
+        zeros = [jnp.zeros((B,) + f.shape[1:-1] + (f.shape[-1],)) for f in feats]
+        one_t = [f.reshape((B, T) + f.shape[1:])[:, 0] for f in feats]
+        params["gru"] = models.gru.init(keys[2], one_t, zeros)["params"]
+    else:
+        one_t = {k: v.reshape((B, T) + v.shape[1:])[:, 0] for k, v in dec.items()}
+        from ..models.recurrent import GRU_HIDDEN_SPECS
+
+        spec = GRU_HIDDEN_SPECS[opts.gru_version if opts.gru_version != "v6" else "v4"]
+        zeros = []
+        for s, hid in enumerate(spec["hid"]):
+            div = 2**s
+            shape = (B, opts.height // div, opts.width // div, hid)
+            if spec["cell"] == "lstm":
+                zeros.append((jnp.zeros(shape), jnp.zeros(shape)))
+            else:
+                zeros.append(jnp.zeros(shape))
+        params["gru"] = models.gru.init(keys[2], one_t, zeros)["params"]
+        if models.head is not None:
+            if opts.gru_version == "v7":
+                h_like = [
+                    jnp.zeros((B, opts.height // 2**s, opts.width // 2**s, c))
+                    for s, c in enumerate(HEAD_VERSIONS["v7"])
+                ]
+                params["head"] = models.head.init(keys[3], h_like)["params"]
+            else:
+                params["head"] = models.head.init(keys[3], one_t)["params"]
+
+    pair = jnp.concatenate([x, x], axis=-1)
+    v = models.pose_encoder.init(keys[4], pair, True)
+    params["pose_encoder"] = v["params"]
+    batch_stats["pose_encoder"] = v.get("batch_stats", {})
+    pfeats = models.pose_encoder.apply(
+        {"params": params["pose_encoder"],
+         "batch_stats": batch_stats["pose_encoder"]},
+        pair, False,
+    )
+    params["pose"] = models.pose.init(keys[5], [pfeats])["params"]
+    return params, batch_stats
+
+
+def make_gru_train_step(models: GRUModels) -> Callable:
+    opts = models.opts
+
+    def step(state, batch, rng):
+        inputs, B, T = preprocess_gru_batch(batch, opts, is_train=True)
+
+        def loss_fn(params):
+            return gru_loss_fn(models, params, state.batch_stats, inputs, B, T, rng)
+
+        grads, (new_bs, losses, _) = jax.grad(loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_batch_stats=new_bs), losses
+
+    return jax.jit(step, donate_argnums=(0,))
