@@ -58,11 +58,11 @@ def predict_disps(opt: Options):
     loader = Loader(ds, 16, shuffle=False, drop_last=False,
                     num_workers=opt.num_workers)
 
-    sample = {("color", 0): np.zeros((1, opt.height, opt.width, 3), np.float32),
+    sample = {"color/0": np.zeros((1, opt.height, opt.width, 3), np.float32),
               "K": np.eye(4, dtype=np.float32)[None]}
     inputs = preprocess_batch(sample, opt.height, opt.width, 1, [0],
                               is_train=False)
-    inputs[("color_aug", 0, 0)] = inputs[("color", 0, 0)]
+    inputs["color_aug/0/0"] = inputs["color/0/0"]
     params, batch_stats = init_mono_params(models, jax.random.PRNGKey(0), inputs)
 
     if any(f.endswith(".pth") for f in os.listdir(folder)):
@@ -76,7 +76,7 @@ def predict_disps(opt: Options):
     infer = make_mono_infer_fn(models)
     disps = []
     for batch in loader:
-        imgs = jnp.asarray(batch[("color", 0)])
+        imgs = jnp.asarray(batch["color/0"])
         disp = infer(params, batch_stats, imgs)[..., 0]
         if opt.post_process:
             disp_flipped = infer(params, batch_stats, imgs[:, :, ::-1, :])[..., 0]

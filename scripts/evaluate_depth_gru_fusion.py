@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Depth evaluation for the recurrent (GRU) model family — reference
+evaluate_depth_gru_fusion.py / evaluate_depth_gru_fusion_my_v.py.
+
+Protocols (selected with --protocol):
+  single     fresh hidden state per test image
+  warmup     run up to --warmup_frames previous frames of the same scene
+             through the recurrence first
+  scene      stream whole ordered scenes carrying state (uses
+             gt_depths_seq.npz from export_gt_depth_seq.py)
+  mdp        plain monodepth2 encoder/decoder baseline
+"""
+
+import argparse
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from ssde_tpu.config import MonodepthOptions, Options
+from ssde_tpu.eval.depth import evaluate_depth_predictions
+
+
+def build_evaluator(opt: Options):
+    import jax
+
+    from ssde_tpu.checkpoint import load_checkpoint
+    from ssde_tpu.data.synthetic import SyntheticSeqDataset
+    from ssde_tpu.data.pipeline import collate
+    from ssde_tpu.eval.gru_runners import GRUStreamEvaluator
+    from ssde_tpu.train.steps_gru import build_gru_models, init_gru_params
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+    opt.compute_dtype = "float32"
+    models = build_gru_models(opt)
+    seed_ds = SyntheticSeqDataset(opt.height, opt.width, n=2, length=1)
+    batch = collate([seed_ds[0]])
+    params, batch_stats = init_gru_params(models, jax.random.PRNGKey(0), batch)
+    params, batch_stats, _, _ = load_checkpoint(
+        opt.load_weights_folder, params, batch_stats,
+        ["encoder", "depth", "gru", "head"],
+    )
+    return GRUStreamEvaluator(models, params, batch_stats)
+
+
+def main():
+    parser = argparse.ArgumentParser(add_help=False)
+    parser.add_argument("--protocol", type=str, default="warmup",
+                        choices=["single", "warmup", "scene", "mdp"])
+    parser.add_argument("--warmup_frames", type=int, default=10)
+    parser.add_argument("--skip_frames", type=int, default=1,
+                        help="stride when streaming scene frames "
+                             "(reference skip_frames)")
+    args, remaining = parser.parse_known_args()
+    opt = MonodepthOptions().parse(remaining)
+
+    from ssde_tpu.data.kitti import KITTIRAWDataset, pil_load_resized
+    from ssde_tpu.data.splits import readlines, split_file
+
+    filenames = readlines(split_file(opt.eval_split, "test"))
+    gt_dir = os.path.dirname(split_file(opt.eval_split, "test"))
+
+    from ssde_tpu.ops import disp_to_depth
+    import jax.numpy as jnp
+
+    if args.protocol == "mdp":
+        import subprocess
+
+        # plain monodepth2 baseline = evaluate_depth.py protocol
+        from evaluate_depth import evaluate as evaluate_plain
+
+        return evaluate_plain(opt)
+
+    ev = build_evaluator(opt)
+    ext = ".png" if opt.png else ".jpg"
+
+    def load_frame(folder, idx):
+        path = os.path.join(opt.data_path, folder,
+                            "image_02/data/{:010d}{}".format(idx, ext))
+        if not os.path.exists(path):
+            return None
+        return pil_load_resized(path, opt.width, opt.height, False)[None]
+
+    pred_disps = []
+    if args.protocol in ("single", "warmup"):
+        gt = np.load(os.path.join(gt_dir, "gt_depths.npz"),
+                     allow_pickle=True)["data"]
+        for line in filenames:
+            folder, idx, _ = line.split()
+            idx = int(idx)
+            image = load_frame(folder, idx)
+            if args.protocol == "single":
+                disp = ev.predict_single(image)
+            else:
+                prev = []
+                for j in range(idx - args.warmup_frames, idx):
+                    f = load_frame(folder, j)
+                    if f is not None:
+                        prev.append(f)
+                disp = ev.predict_with_warmup(prev, image)
+            scaled, _ = disp_to_depth(jnp.asarray(disp), opt.min_depth,
+                                      opt.max_depth)
+            pred_disps.append(np.asarray(scaled)[0])
+        gt_list = list(gt)
+    else:  # scene streaming
+        seq = np.load(os.path.join(gt_dir, "gt_depths_seq.npz"),
+                      allow_pickle=True)
+        gt_data, index = seq["data"], seq["index"]
+        by_scene = defaultdict(list)
+        for i, key in enumerate(index):
+            folder, idx = str(key).rsplit(" ", 1)
+            by_scene[folder].append((int(idx), i))
+        gt_list = []
+        for folder in sorted(by_scene):
+            entries = sorted(by_scene[folder])[:: args.skip_frames]
+            frames = [load_frame(folder, idx) for idx, _ in entries]
+            disps = ev.predict_scene([f for f in frames if f is not None])
+            for (idx, gi), d in zip(entries, disps):
+                scaled, _ = disp_to_depth(jnp.asarray(d), opt.min_depth,
+                                          opt.max_depth)
+                pred_disps.append(np.asarray(scaled)[0])
+                gt_list.append(gt_data[gi])
+
+    metrics = evaluate_depth_predictions(
+        np.stack(pred_disps), gt_list,
+        eval_split=opt.eval_split,
+        disable_median_scaling=opt.disable_median_scaling,
+        pred_depth_scale_factor=opt.pred_depth_scale_factor,
+    )
+    names = ["abs_rel", "sq_rel", "rmse", "rmse_log", "a1", "a2", "a3"]
+    print("\n  " + ("{:>8} | " * 7).format(*names))
+    print(("&{: 8.3f}  " * 7).format(*[metrics[n] for n in names]) + "\\\\")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,7 @@ def evaluate(opt: Options):
     pred_poses = []
     for batch in loader:
         pair = jnp.concatenate(
-            [jnp.asarray(batch[("color", 0)]), jnp.asarray(batch[("color", 1)])],
+            [jnp.asarray(batch["color/0"]), jnp.asarray(batch["color/1"])],
             axis=-1,
         )
         pred_poses.append(np.asarray(infer(pair)))

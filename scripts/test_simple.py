@@ -63,11 +63,11 @@ def test_simple(args):
     opt = Options(height=feed_height, width=feed_width,
                   num_layers=args.num_layers, compute_dtype="float32")
     models = build_mono_models(opt)
-    sample = {("color", 0): np.zeros((1, feed_height, feed_width, 3), np.float32),
+    sample = {"color/0": np.zeros((1, feed_height, feed_width, 3), np.float32),
               "K": np.eye(4, dtype=np.float32)[None]}
     inputs = preprocess_batch(sample, feed_height, feed_width, 1, [0],
                               is_train=False)
-    inputs[("color_aug", 0, 0)] = inputs[("color", 0, 0)]
+    inputs["color_aug/0/0"] = inputs["color/0/0"]
     params, batch_stats = init_mono_params(models, jax.random.PRNGKey(0), inputs)
     if from_torch:
         params.update({k: v for k, v in p.items() if k in params})

@@ -8,7 +8,7 @@ scaling are computed on device (``ssde_tpu.data.transforms``), keeping the
 loader thin for TPU feeding.
 
 Item contract (numpy):
-  ("color", i):   (H, W, 3) float32 in [0, 1], already flipped if do_flip
+  f"color/{i}":   (H, W, 3) float32 in [0, 1], already flipped if do_flip
   "K":            (4, 4) normalized intrinsics
   "depth_gt":     (375, 1242) float32  [only when velodyne data exists]
   "stereo_T":     (4, 4) float32       [only with "s" in frame_idxs]
@@ -130,15 +130,15 @@ class KITTIDataset:
         do_jitter = self.is_train and self._rng.random() > 0.5
 
         inputs = {}
-        inputs[("color", 0)] = self.get_color(folder, frame_index, side, do_flip)
+        inputs["color/0"] = self.get_color(folder, frame_index, side, do_flip)
         for i in self.frame_idxs:
             if i == "s":
                 other = {"r": "l", "l": "r"}[side]
-                inputs[("color", i)] = self.get_color(folder, frame_index, other, do_flip)
+                inputs[f"color/{i}"] = self.get_color(folder, frame_index, other, do_flip)
             elif i != 0:
                 color = self.get_color(folder, frame_index + i, side, do_flip)
-                inputs[("color", i)] = (
-                    color if color is not None else inputs[("color", 0)]
+                inputs[f"color/{i}"] = (
+                    color if color is not None else inputs["color/0"]
                 )
 
         inputs["K"] = self.K.copy()

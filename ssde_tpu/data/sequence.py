@@ -11,7 +11,7 @@ kitti_dataset_seq.py:159-175 — a bug), one jitter is applied per item,
 matching MonoDataset semantics.
 
 Item contract (numpy):
-  ("color", i): (T, H, W, 3) for i in {-1, 0, 1}
+  f"color/{i}": (T, H, W, 3) for i in {-1, 0, 1}
   "depth_gt":   (T, 375, 1242) float32
   "K":          (4, 4) normalized
   "jitter":     (4,)
@@ -126,9 +126,9 @@ class KITTISeqDataset:
         }
         n = self.n
         inputs = {
-            ("color", 0): np.stack([imgs[f] for f in frames[1 : n + 1]]),
-            ("color", -1): np.stack([imgs[f] for f in frames[:n]]),
-            ("color", 1): np.stack([imgs[f] for f in frames[2 : n + 2]]),
+            "color/0": np.stack([imgs[f] for f in frames[1 : n + 1]]),
+            "color/-1": np.stack([imgs[f] for f in frames[:n]]),
+            "color/1": np.stack([imgs[f] for f in frames[2 : n + 2]]),
             "K": self.K.copy(),
             "jitter": sample_jitter(self._rng) if do_jitter else IDENTITY_JITTER,
         }

@@ -28,7 +28,7 @@ def _shifted_frame(tex, h, w, shift):
 
 
 class SyntheticKittiDataset:
-    """Quacks like KITTIDataset: items with ("color", i), "K", "jitter",
+    """Quacks like KITTIDataset: items with f"color/{i}", "K", "jitter",
     "depth_gt"."""
 
     def __init__(self, height=64, width=128, length=32, frame_idxs=(0, -1, 1),
@@ -50,7 +50,7 @@ class SyntheticKittiDataset:
         inputs = {}
         for i in self.frame_idxs:
             shift = int(np.clip(base_shift + 2 * (i if i != "s" else 0), 0, 63))
-            inputs[("color", i)] = _shifted_frame(
+            inputs[f"color/{i}"] = _shifted_frame(
                 self._tex, self.height, self.width, shift
             )
         inputs["K"] = KITTI_K.copy()
@@ -93,9 +93,9 @@ class SyntheticSeqDataset:
         shifts = [(index * 2 + t * 3) % 64 for t in range(n + 2)]
         frames = [_shifted_frame(self._tex, h, w, s) for s in shifts]
         return {
-            ("color", 0): np.stack(frames[1 : n + 1]),
-            ("color", -1): np.stack(frames[:n]),
-            ("color", 1): np.stack(frames[2 : n + 2]),
+            "color/0": np.stack(frames[1 : n + 1]),
+            "color/-1": np.stack(frames[:n]),
+            "color/1": np.stack(frames[2 : n + 2]),
             "K": KITTI_K.copy(),
             "jitter": IDENTITY_JITTER.copy(),
         }

@@ -109,8 +109,8 @@ def scale_intrinsics(K, height: int, width: int, num_scales: int):
             [width // (2**s), height // (2**s), 1.0, 1.0], dtype=K.dtype
         )
         Ks = K * scale_vec[None, :, None]
-        out[("K", s)] = Ks
-        out[("inv_K", s)] = jnp.linalg.inv(Ks)
+        out[f"K/{s}"] = Ks
+        out[f"inv_K/{s}"] = jnp.linalg.inv(Ks)
     return out
 
 
@@ -124,19 +124,19 @@ def preprocess_batch(
 ):
     """Stacked host batch -> the reference's full key contract.
 
-    Input keys: ("color", i) (B, H, W, 3), "K" (B, 4, 4), "jitter" (B, 4).
-    Output keys: ("color", i, s), ("color_aug", i, s), ("K", s),
-    ("inv_K", s) (+ passthrough of "depth_gt"/"stereo_T").
+    Input keys: f"color/{i}" (B, H, W, 3), "K" (B, 4, 4), "jitter" (B, 4).
+    Output keys: f"color/{i}/{s}", f"color_aug/{i}/{s}", f"K/{s}",
+    f"inv_K/{s}" (+ passthrough of "depth_gt"/"stereo_T").
     """
     inputs = {}
     jitter = batch.get("jitter")
     for i in frame_idxs:
-        img = batch[("color", i)]
+        img = batch[f"color/{i}"]
         for s, scaled in enumerate(build_pyramid(img, num_scales)):
-            inputs[("color", i, s)] = scaled
+            inputs[f"color/{i}/{s}"] = scaled
         aug = color_jitter(img, jitter) if (is_train and jitter is not None) else img
         for s, scaled in enumerate(build_pyramid(aug, num_scales)):
-            inputs[("color_aug", i, s)] = scaled
+            inputs[f"color_aug/{i}/{s}"] = scaled
     inputs.update(scale_intrinsics(batch["K"], height, width, num_scales))
     for k in ("depth_gt", "stereo_T"):
         if k in batch:

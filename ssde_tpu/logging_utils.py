@@ -41,18 +41,18 @@ class Writers:
         w = self.writers.get(mode)
         if w is None:
             return
-        n = min(max_images, inputs[("color", 0, 0)].shape[0])
+        n = min(max_images, inputs["color/0/0"].shape[0])
         for j in range(n):
             for s in scales:
                 for fid in frame_ids:
-                    if ("color", fid, s) in inputs:
+                    if f"color/{fid}/{s}" in inputs:
                         w.add_image(
                             f"color_{fid}_{s}/{j}",
-                            np.transpose(np.asarray(inputs[("color", fid, s)][j]), (2, 0, 1)),
+                            np.transpose(np.asarray(inputs[f"color/{fid}/{s}"][j]), (2, 0, 1)),
                             step,
                         )
-                if ("disp", s) in outputs:
-                    disp = np.asarray(outputs[("disp", s)][j, ..., 0])
+                if f"disp/{s}" in outputs:
+                    disp = np.asarray(outputs[f"disp/{s}"][j, ..., 0])
                     w.add_image(f"disp_{s}/{j}", normalize_image(disp)[None], step)
                 key = f"identity_selection/{s}"
                 if key in outputs:

@@ -38,9 +38,9 @@ class DepthDecoder(nn.Module):
             x = ConvBlock(NUM_CH_DEC[i], dtype=self.dtype, name=f"upconv_{i}_1")(x)
             if i in self.scales:
                 if pre_disp:
-                    outputs[("disp", i)] = x
+                    outputs[f"disp/{i}"] = x
                 else:
-                    outputs[("disp", i)] = nn.sigmoid(
+                    outputs[f"disp/{i}"] = nn.sigmoid(
                         Conv3x3(self.num_output_channels, dtype=self.dtype,
                                 name=f"dispconv_{i}")(x)
                     )

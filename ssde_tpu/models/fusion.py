@@ -149,7 +149,7 @@ class FeatureFusionBlock_v3(nn.Module):
 class Fusion(nn.Module):
     """Chains 4 FeatureFusionBlock_v2 over pre-disp features, coarse->fine
     (reference fusion_v2.py:239-275). Inputs are per-frame dicts keyed
-    ('disp', s) of pre-disp decoder features."""
+    'disp/s' of pre-disp decoder features."""
 
     dtype: Any = None
 
@@ -160,10 +160,10 @@ class Fusion(nn.Module):
         up = None
         for block_idx, (feat, scale, init) in enumerate(specs):
             s = 3 - block_idx
-            outputs[("disp", s)], up = FeatureFusionBlock_v2(
+            outputs[f"disp/{s}"], up = FeatureFusionBlock_v2(
                 feat, scale, init_scale=init, dtype=self.dtype,
                 name=f"fusion_block_{block_idx + 1}",
-            )(dec[("disp", s)], up, dec_t1[("disp", s)], dec_t2[("disp", s)])
+            )(dec[f"disp/{s}"], up, dec_t1[f"disp/{s}"], dec_t2[f"disp/{s}"])
         return outputs
 
 
@@ -180,10 +180,10 @@ class Fusion_v3(nn.Module):
         up = None
         for block_idx in range(4):
             s = 3 - block_idx
-            outputs[("disp", s)], up = FeatureFusionBlock_v3(
+            outputs[f"disp/{s}"], up = FeatureFusionBlock_v3(
                 2, attention=self.attention, init_scale=(block_idx == 0),
                 dtype=self.dtype, name=f"fusion_block_{block_idx + 1}",
-            )(dec[("disp", s)], up, dec_t1[("disp", s)], dec_t2[("disp", s)])
+            )(dec[f"disp/{s}"], up, dec_t1[f"disp/{s}"], dec_t2[f"disp/{s}"])
         return outputs
 
 

@@ -192,14 +192,14 @@ class ConvGRUBlocks(nn.Module):
     def __call__(self, dec_outputs, hidden_states):
         v = self.version
         if v in ("v1", "v3"):
-            new = [self.units[s](dec_outputs[("disp", s)], hidden_states[s])
+            new = [self.units[s](dec_outputs[f"disp/{s}"], hidden_states[s])
                    for s in range(4)]
-            disp = {("disp", s): nn.sigmoid(self.heads[s](new[s]))
+            disp = {f"disp/{s}": nn.sigmoid(self.heads[s](new[s]))
                     for s in range(4)}
             return new, disp
 
         if v == "v4":
-            new = [self.units[s](dec_outputs[("disp", s)], hidden_states[s])
+            new = [self.units[s](dec_outputs[f"disp/{s}"], hidden_states[s])
                    for s in range(4)]
             return new, None
 
@@ -211,11 +211,11 @@ class ConvGRUBlocks(nn.Module):
 
         if v == "v7":
             new = [None] * 4
-            out3 = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
+            out3 = self.units[3](dec_outputs["disp/3"], hidden_states[3])
             up = pixel_shuffle(out3, 2)
             new[3] = out3
             for s in (2, 1, 0):
-                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                x = jnp.concatenate([dec_outputs[f"disp/{s}"], up], axis=-1)
                 out = self.units[s](x, hidden_states[s])
                 new[s] = out
                 if s > 0:
@@ -226,34 +226,34 @@ class ConvGRUBlocks(nn.Module):
             disp = {}
             new = [None] * 4
             # scale 3: gru input is the raw coarsest disp (1 ch)
-            new[3] = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
-            fin1 = jnp.concatenate([dec_outputs[("disp", 3)]] * 2, axis=-1)
-            disp[("disp", 3)], up = self.fusions[3](fin1, new[3])
+            new[3] = self.units[3](dec_outputs["disp/3"], hidden_states[3])
+            fin1 = jnp.concatenate([dec_outputs["disp/3"]] * 2, axis=-1)
+            disp["disp/3"], up = self.fusions[3](fin1, new[3])
             for s in (2, 1, 0):
-                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                x = jnp.concatenate([dec_outputs[f"disp/{s}"], up], axis=-1)
                 new[s] = self.units[s](x, hidden_states[s])
                 if s > 0:
-                    disp[("disp", s)], up = self.fusions[s](x, new[s])
+                    disp[f"disp/{s}"], up = self.fusions[s](x, new[s])
                 else:
-                    disp[("disp", 0)] = self.fusions[0](x, new[0])
+                    disp["disp/0"] = self.fusions[0](x, new[0])
             return new, disp
 
         if v in ("v8", "v9", "v10"):
             disp = {}
             new = [None] * 4
-            new[3] = self.units[3](dec_outputs[("disp", 3)], hidden_states[3])
-            fin1 = jnp.concatenate([dec_outputs[("disp", 3)]] * 2, axis=-1)
+            new[3] = self.units[3](dec_outputs["disp/3"], hidden_states[3])
+            fin1 = jnp.concatenate([dec_outputs["disp/3"]] * 2, axis=-1)
             # temporal fusion: average of previous and new hidden
             h_mix = (self._hidden_of(hidden_states[3]) + self._hidden_of(new[3])) / 2
-            disp[("disp", 3)], up = self.fusions[3](fin1, h_mix)
+            disp["disp/3"], up = self.fusions[3](fin1, h_mix)
             for s in (2, 1, 0):
-                x = jnp.concatenate([dec_outputs[("disp", s)], up], axis=-1)
+                x = jnp.concatenate([dec_outputs[f"disp/{s}"], up], axis=-1)
                 new[s] = self.units[s](x, hidden_states[s])
                 h_mix = (self._hidden_of(hidden_states[s]) + self._hidden_of(new[s])) / 2
                 if s > 0:
-                    disp[("disp", s)], up = self.fusions[s](x, h_mix)
+                    disp[f"disp/{s}"], up = self.fusions[s](x, h_mix)
                 else:
-                    disp[("disp", 0)] = self.fusions[0](x, h_mix)
+                    disp["disp/0"] = self.fusions[0](x, h_mix)
             return new, disp
 
         raise ValueError(f"unknown gru version {v!r}")
@@ -271,8 +271,8 @@ class Head(nn.Module):
         disp = {}
         scales = (0,) if zero_scale_only else (0, 1, 2, 3)
         for s in scales:
-            x = outputs[s] if isinstance(outputs, (list, tuple)) else outputs[("disp", s)]
-            disp[("disp", s)] = nn.sigmoid(
+            x = outputs[s] if isinstance(outputs, (list, tuple)) else outputs[f"disp/{s}"]
+            disp[f"disp/{s}"] = nn.sigmoid(
                 Conv3x3(1, dtype=self.dtype, name=f"conv3x3_{s}")(x)
             )
         return disp

@@ -73,7 +73,7 @@ def init_mono_params(models: MonoModels, rng, sample_inputs):
     """Initialize all params/batch_stats from one preprocessed batch."""
     opts = models.opts
     params, batch_stats = {}, {}
-    x0 = sample_inputs[("color_aug", 0, 0)]
+    x0 = sample_inputs["color_aug/0/0"]
     k1, k2, k3, k4 = jax.random.split(rng, 4)
 
     v = models.encoder.init(k1, x0, True)
@@ -120,7 +120,7 @@ def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool):
     opts = models.opts
     outputs = {}
     new_bs = {}
-    frames = {i: inputs[("color_aug", i, 0)] for i in opts.frame_ids if i != "s"}
+    frames = {i: inputs[f"color_aug/{i}/0"] for i in opts.frame_ids if i != "s"}
     for f in opts.frame_ids[1:]:
         if f == "s":
             continue
@@ -137,9 +137,9 @@ def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool):
             aa, t = models.pose.apply({"params": params["pose"]}, [pfeats])
         else:
             aa, t = models.pose.apply({"params": params["pose"]}, pair)
-        outputs[("axisangle", 0, f)] = aa
-        outputs[("translation", 0, f)] = t
-        outputs[("cam_T_cam", 0, f)] = transformation_from_parameters(
+        outputs[f"axisangle/0/{f}"] = aa
+        outputs[f"translation/0/{f}"] = t
+        outputs[f"cam_T_cam/0/{f}"] = transformation_from_parameters(
             aa[:, 0].astype(jnp.float32), t[:, 0].astype(jnp.float32),
             invert=(f < 0),
         )
@@ -151,23 +151,23 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
     (reference trainer.py:465-515)."""
     H, W = opts.height, opts.width
     for scale in opts.scales:
-        disp = outputs[("disp", scale)].astype(jnp.float32)
+        disp = outputs[f"disp/{scale}"].astype(jnp.float32)
         if opts.v1_multiscale:
             source_scale = scale
         else:
             disp = resize_bilinear(disp, (H, W), align_corners=False)
             source_scale = 0
         _, depth = disp_to_depth(disp, opts.min_depth, opts.max_depth)
-        outputs[("depth", 0, scale)] = depth
+        outputs[f"depth/0/{scale}"] = depth
 
         for f in source_ids:
             if f == "s":
                 T = inputs["stereo_T"]
             else:
-                T = outputs[("cam_T_cam", 0, f)]
+                T = outputs[f"cam_T_cam/0/{f}"]
             if opts.pose_model_type == "posecnn" and f != "s":
-                aa = outputs[("axisangle", 0, f)].astype(jnp.float32)
-                t = outputs[("translation", 0, f)].astype(jnp.float32)
+                aa = outputs[f"axisangle/0/{f}"].astype(jnp.float32)
+                t = outputs[f"translation/0/{f}"].astype(jnp.float32)
                 inv_depth = 1.0 / depth
                 mean_inv_depth = jnp.mean(inv_depth, axis=(1, 2), keepdims=True)
                 T = transformation_from_parameters(
@@ -175,13 +175,13 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
                 )
             pix = reproject_coords(
                 depth,
-                inputs[("inv_K", source_scale)].astype(jnp.float32),
-                inputs[("K", source_scale)].astype(jnp.float32),
+                inputs[f"inv_K/{source_scale}"].astype(jnp.float32),
+                inputs[f"K/{source_scale}"].astype(jnp.float32),
                 T,
             )
-            outputs[("sample", f, scale)] = pix
-            outputs[("color", f, scale)] = grid_sample(
-                inputs[("color", f, source_scale)].astype(jnp.float32), pix
+            outputs[f"sample/{f}/{scale}"] = pix
+            outputs[f"color/{f}/{scale}"] = grid_sample(
+                inputs[f"color/{f}/{source_scale}"].astype(jnp.float32), pix
             )
     return outputs
 
@@ -193,13 +193,13 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
     total = 0.0
     for scale in opts.scales:
         source_scale = scale if opts.v1_multiscale else 0
-        disp = outputs[("disp", scale)].astype(jnp.float32)
-        color = inputs[("color", 0, scale)].astype(jnp.float32)
-        target = inputs[("color", 0, source_scale)].astype(jnp.float32)
+        disp = outputs[f"disp/{scale}"].astype(jnp.float32)
+        color = inputs[f"color/0/{scale}"].astype(jnp.float32)
+        target = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
 
-        preds = [outputs[("color", f, scale)] for f in source_ids]
+        preds = [outputs[f"color/{f}/{scale}"] for f in source_ids]
         idents = [
-            inputs[("color", f, source_scale)].astype(jnp.float32)
+            inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
             for f in source_ids
         ]
         key = None
@@ -230,7 +230,7 @@ def mono_loss_fn(models: MonoModels, params, batch_stats, inputs, rng,
     """Full forward: encoder -> depth -> poses -> warp -> loss."""
     opts = models.opts
     new_bs = dict(batch_stats)
-    x0 = inputs[("color_aug", 0, 0)]
+    x0 = inputs["color_aug/0/0"]
     dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
     x0 = x0.astype(dtype)
 
@@ -278,6 +278,6 @@ def make_mono_infer_fn(models: MonoModels) -> Callable:
             images, False,
         )
         outputs = models.depth.apply({"params": params["depth"]}, feats)
-        return outputs[("disp", 0)].astype(jnp.float32)
+        return outputs["disp/0"].astype(jnp.float32)
 
     return jax.jit(infer)

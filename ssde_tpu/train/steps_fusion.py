@@ -79,7 +79,7 @@ def build_fusion_models(opts: Options, variant: str) -> FusionModels:
 def init_fusion_params(models: FusionModels, rng, sample_inputs):
     opts = models.opts
     params, batch_stats = {}, {}
-    x0 = sample_inputs[("color_aug", 0, 0)]
+    x0 = sample_inputs["color_aug/0/0"]
     keys = jax.random.split(rng, 5)
 
     v = models.encoder.init(keys[0], x0, True)
@@ -94,7 +94,7 @@ def init_fusion_params(models: FusionModels, rng, sample_inputs):
     dec = models.depth.apply({"params": params["depth"]}, feats, pre_disp=pre_disp)
 
     if models.variant == "scale_loop":
-        d3 = dec[("disp", 3)]
+        d3 = dec["disp/3"]
         upt = jnp.zeros_like(d3)
         params["fusion"] = models.fusion.init(keys[2], d3, upt, d3, d3)["params"]
     else:
@@ -121,7 +121,7 @@ def fusion_loss_fn(models: FusionModels, params, batch_stats, inputs, rng,
 
     # one encoder pass over frames [0, -1, -2] on the batch axis
     enc_in = jnp.concatenate(
-        [inputs[("color_aug", i, 0)] for i in models.context_ids], axis=0
+        [inputs[f"color_aug/{i}/0"] for i in models.context_ids], axis=0
     ).astype(dtype)
     feats, bs = _apply_bn(models.encoder, params["encoder"],
                           batch_stats.get("encoder", {}), enc_in, train=train)
@@ -130,18 +130,18 @@ def fusion_loss_fn(models: FusionModels, params, batch_stats, inputs, rng,
     pre_disp = models.variant == "pyramid"
     dec_all = models.depth.apply({"params": params["depth"]}, feats,
                                  pre_disp=pre_disp)
-    B = inputs[("color_aug", 0, 0)].shape[0]
+    B = inputs["color_aug/0/0"].shape[0]
     dec = {k: v[:B] for k, v in dec_all.items()}
     dec_t1 = {k: v[B : 2 * B] for k, v in dec_all.items()}
     dec_t2 = {k: v[2 * B :] for k, v in dec_all.items()}
 
     if models.variant == "scale_loop":
         outputs = {}
-        upt = jnp.zeros_like(dec[("disp", 3)])
+        upt = jnp.zeros_like(dec["disp/3"])
         for s in range(len(opts.scales) - 1, -1, -1):
-            outputs[("disp", s)], upt = models.fusion.apply(
+            outputs[f"disp/{s}"], upt = models.fusion.apply(
                 {"params": params["fusion"]},
-                dec[("disp", s)], upt, dec_t1[("disp", s)], dec_t2[("disp", s)],
+                dec[f"disp/{s}"], upt, dec_t1[f"disp/{s}"], dec_t2[f"disp/{s}"],
             )
     else:
         outputs = models.fusion.apply({"params": params["fusion"]},

@@ -77,10 +77,10 @@ def build_gru_models(opts: Options) -> GRUModels:
 def preprocess_gru_batch(batch, opts: Options, is_train: bool = True):
     """(B, T, H, W, 3) sequence batch -> flattened (B*T) mono-style inputs."""
     flat = {}
-    B, T = batch[("color", 0)].shape[:2]
+    B, T = batch["color/0"].shape[:2]
     for i in (0, -1, 1):
-        x = batch[("color", i)]
-        flat[("color", i)] = x.reshape((B * T,) + x.shape[2:])
+        x = batch[f"color/{i}"]
+        flat[f"color/{i}"] = x.reshape((B * T,) + x.shape[2:])
     flat["K"] = jnp.repeat(batch["K"], T, axis=0)
     if "jitter" in batch:
         flat["jitter"] = jnp.repeat(batch["jitter"], T, axis=0)
@@ -101,7 +101,7 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
     """Version-dispatched lax.scan over the time axis.
 
     Input: per-scale decoder outputs (or encoder features for v5) with
-    flattened (B*T) batch. Returns dict ('disp', s) -> (B*T, h, w, 1).
+    flattened (B*T) batch. Returns dict 'disp/s' -> (B*T, h, w, 1).
     """
     opts = models.opts
     version = opts.gru_version
@@ -149,7 +149,7 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
         for s in range(4):
             hs = jnp.concatenate([h0[s][None], h_seq[s]], axis=0)
             mix = (hs[1:] + hs[:-1]) / 2  # --fuse aggregation
-            outputs[("disp", s)] = dec_or_feats[("disp", s)] + _to_flat(mix, B, T)
+            outputs[f"disp/{s}"] = dec_or_feats[f"disp/{s}"] + _to_flat(mix, B, T)
         return models.head.apply({"params": params["head"]}, outputs)
 
     if version == "v7":
@@ -174,7 +174,7 @@ def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
     dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
     new_bs = dict(batch_stats)
 
-    x = inputs[("color_aug", 0, 0)].astype(dtype)  # (B*T, H, W, 3)
+    x = inputs["color_aug/0/0"].astype(dtype)  # (B*T, H, W, 3)
     feats, bs = _apply_bn(models.encoder, params["encoder"],
                           batch_stats.get("encoder", {}), x, train=train)
     new_bs["encoder"] = bs
@@ -203,7 +203,7 @@ def init_gru_params(models: GRUModels, rng, batch):
     params, batch_stats = {}, {}
     keys = jax.random.split(rng, 6)
 
-    x = inputs[("color_aug", 0, 0)]
+    x = inputs["color_aug/0/0"]
     v = models.encoder.init(keys[0], x, True)
     params["encoder"] = v["params"]
     batch_stats["encoder"] = v.get("batch_stats", {})

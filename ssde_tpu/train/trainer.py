@@ -244,7 +244,7 @@ class TrainerBase:
     def compute_depth_losses(self, batch, outputs):
         """Velodyne-GT depth metrics with the garg crop
         (reference trainer.py:624-652)."""
-        depth_pred = np.asarray(outputs[("depth", 0, 0)])[..., 0]
+        depth_pred = np.asarray(outputs["depth/0/0"])[..., 0]
         gt = np.asarray(batch["depth_gt"])
         if gt.ndim == 4:
             gt = gt[..., 0]

@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config update
+# is what actually pins the CPU backend (and with it the 8 virtual devices
+# from --xla_force_host_platform_device_count above).
+jax.config.update("jax_platforms", "cpu")
+
 # Exact f32 contractions for golden-value comparison against torch: JAX's
 # DEFAULT matmul precision may run f32 matmuls/convs through bf16 passes.
 jax.config.update("jax_default_matmul_precision", "float32")

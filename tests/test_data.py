@@ -58,10 +58,10 @@ def test_scale_intrinsics():
         )
     )
     out = scale_intrinsics(K, 192, 640, 4)
-    k0 = np.asarray(out[("K", 0)])[0]
+    k0 = np.asarray(out["K/0"])[0]
     assert k0[0, 0] == pytest.approx(0.58 * 640)
     assert k0[1, 1] == pytest.approx(1.92 * 192)
-    prod = np.asarray(out[("K", 2)])[0] @ np.asarray(out[("inv_K", 2)])[0]
+    prod = np.asarray(out["K/2"])[0] @ np.asarray(out["inv_K/2"])[0]
     np.testing.assert_allclose(prod, np.eye(4), atol=1e-4)
 
 
@@ -70,11 +70,11 @@ def test_preprocess_batch_contract():
     inputs = preprocess_batch(batch, 64, 128, 4, [0, -1, 1])
     for i in [0, -1, 1]:
         for s in range(4):
-            assert ("color", i, s) in inputs
-            assert ("color_aug", i, s) in inputs
-            assert inputs[("color", i, s)].shape == (2, 64 // 2**s, 128 // 2**s, 3)
+            assert f"color/{i}/{s}" in inputs
+            assert f"color_aug/{i}/{s}" in inputs
+            assert inputs[f"color/{i}/{s}"].shape == (2, 64 // 2**s, 128 // 2**s, 3)
     for s in range(4):
-        assert inputs[("K", s)].shape == (2, 4, 4)
+        assert inputs[f"K/{s}"].shape == (2, 4, 4)
 
 
 def test_loader_batches():
@@ -82,11 +82,11 @@ def test_loader_batches():
     loader = Loader(ds, batch_size=4, shuffle=True, drop_last=True, num_workers=2)
     batches = list(loader)
     assert len(batches) == 2
-    assert batches[0][("color", 0)].shape == (4, 32, 64, 3)
+    assert batches[0]["color/0"].shape == (4, 32, 64, 3)
 
 
 def test_synthetic_has_parallax():
     ds = SyntheticKittiDataset(height=32, width=64, length=4)
     item = ds[0]
     # neighbouring frames differ (camera moved)
-    assert np.abs(item[("color", 0)] - item[("color", 1)]).mean() > 1e-3
+    assert np.abs(item["color/0"] - item["color/1"]).mean() > 1e-3

@@ -76,7 +76,7 @@ def test_depth_decoder_shapes():
     dec = DepthDecoder(scales=(0, 1, 2, 3))
     outputs, _ = init_and_run(dec, feats)
     for s in range(4):
-        d = outputs[("disp", s)]
+        d = outputs[f"disp/{s}"]
         assert d.shape == (2, H // 2**s, W // 2**s, 1)
         vals = np.asarray(d)
         assert (vals >= 0).all() and (vals <= 1).all()
@@ -91,7 +91,7 @@ def test_depth_decoder_pre_disp():
     outputs = dec.apply(variables, feats, pre_disp=True)
     expected_ch = {0: 16, 1: 32, 2: 64, 3: 128}
     for s in range(4):
-        assert outputs[("disp", s)].shape[-1] == expected_ch[s]
+        assert outputs[f"disp/{s}"].shape[-1] == expected_ch[s]
 
 
 def test_pose_decoder():
@@ -187,7 +187,7 @@ def test_feature_fusion_block(rng):
 def _pre_disp_dicts(rng, h, w):
     ch = {0: 16, 1: 32, 2: 64, 3: 128}
     return {
-        ("disp", s): jnp.asarray(
+        f"disp/{s}": jnp.asarray(
             rng.rand(1, h // 2**s, w // 2**s, ch[s]).astype(np.float32)
         )
         for s in range(4)
@@ -204,13 +204,13 @@ def test_fusion_pyramid(rng):
     out = model.apply(variables, dec, dec1, dec2)
     # every scale's disp is emitted at full resolution (PixelShuffle to 1x)
     for s in range(4):
-        assert out[("disp", s)].shape == (1, h, w, 1)
+        assert out[f"disp/{s}"].shape == (1, h, w, 1)
 
 
 def test_fusion_v3(rng):
     h, w = 32, 64
     mk = lambda: {
-        ("disp", s): jnp.asarray(
+        f"disp/{s}": jnp.asarray(
             rng.rand(1, h // 2**s, w // 2**s, 1).astype(np.float32)
         )
         for s in range(4)
@@ -220,4 +220,4 @@ def test_fusion_v3(rng):
     variables = model.init(jax.random.PRNGKey(0), dec, dec1, dec2)
     out = model.apply(variables, dec, dec1, dec2)
     for s in range(4):
-        assert out[("disp", s)].shape == (1, h // 2**s, w // 2**s, 1)
+        assert out[f"disp/{s}"].shape == (1, h // 2**s, w // 2**s, 1)

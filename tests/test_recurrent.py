@@ -60,7 +60,7 @@ def test_conv_lstm_cell_shapes(rng):
 
 def _pre_disp(rng, B, ch):
     return {
-        ("disp", s): jnp.asarray(
+        f"disp/{s}": jnp.asarray(
             rng.rand(B, H // 2**s, W // 2**s, ch[s]).astype(np.float32)
         )
         for s in range(4)
@@ -88,7 +88,7 @@ def test_gru_blocks_step(rng, version, ch, has_disp):
     assert len(new) == 4
     if has_disp:
         for s in range(4):
-            d = disp[("disp", s)]
+            d = disp[f"disp/{s}"]
             if version in ("v1", "v3"):
                 assert d.shape == (B, H // 2**s, W // 2**s, 1)
             else:
@@ -137,7 +137,7 @@ def test_gru_scan_over_time(rng):
     B, T = 1, 3
     block = make_gru("v3", H, W)
     dec_seq = {
-        ("disp", s): jnp.asarray(
+        f"disp/{s}": jnp.asarray(
             rng.rand(T, B, H // 2**s, W // 2**s, c).astype(np.float32)
         )
         for s, c in zip(range(4), (16, 32, 64, 128))
@@ -148,7 +148,7 @@ def test_gru_scan_over_time(rng):
 
     def step(h, dec_t):
         h_new, disp = block.apply(variables, dec_t, h)
-        return h_new, disp[("disp", 0)]
+        return h_new, disp["disp/0"]
 
     h_final, disps = jax.lax.scan(step, h0, dec_seq)
     assert disps.shape == (T, B, H, W, 1)
@@ -159,7 +159,7 @@ def test_gru_scan_over_time(rng):
 def test_head_v4(rng):
     ch = (16, 32, 64, 128)
     outputs = {
-        ("disp", s): jnp.asarray(
+        f"disp/{s}": jnp.asarray(
             rng.rand(1, H // 2**s, W // 2**s, ch[s]).astype(np.float32)
         )
         for s in range(4)
@@ -168,4 +168,4 @@ def test_head_v4(rng):
     variables = head.init(jax.random.PRNGKey(0), outputs)
     disp = head.apply(variables, outputs)
     for s in range(4):
-        assert disp[("disp", s)].shape[-1] == 1
+        assert disp[f"disp/{s}"].shape[-1] == 1

@@ -51,7 +51,7 @@ def test_mono_loss_finite():
         models, state.params, state.batch_stats, inputs, jax.random.PRNGKey(1)
     )
     assert np.isfinite(float(loss))
-    assert ("disp", 0) in outputs and ("color", -1, 0) in outputs
+    assert "disp/0" in outputs and "color/-1/0" in outputs
     for s in range(4):
         assert np.isfinite(float(losses[f"loss/{s}"]))
 
