@@ -60,6 +60,15 @@ def generate_depth_map(calib_dir: str, velo_filename: str, cam: int = 2,
     P_velo2im = P_rect @ R_rect @ T_velo2cam
 
     velo = load_velodyne_points(velo_filename)
+
+    # fast path: native C++ projection (ssde_tpu.native); identical output
+    from ..native import project_velodyne_native
+
+    native = project_velodyne_native(velo, P_velo2im, int(im_shape[0]),
+                                     int(im_shape[1]), vel_depth)
+    if native is not None:
+        return native
+
     velo = velo[velo[:, 0] >= 0, :]  # points in front of the car only
 
     pts_im = (P_velo2im @ velo.T).T
