@@ -195,6 +195,11 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
         source_scale = scale if opts.v1_multiscale else 0
         disp = outputs[f"disp/{scale}"].astype(jnp.float32)
         color = inputs[f"color/0/{scale}"].astype(jnp.float32)
+        # fusion variants emit full-resolution disps at every scale; their
+        # smoothness image is then the full-res frame (trainer_fusion.py's
+        # compute_losses uses source_scale color)
+        if disp.shape[1:3] != color.shape[1:3]:
+            color = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
         target = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
 
         preds = [outputs[f"color/{f}/{scale}"] for f in source_ids]
