@@ -45,12 +45,14 @@ class MonoModels:
     opts: Options
 
     @property
-    def source_ids(self) -> Sequence[int]:
+    def source_ids(self) -> Sequence:
         # the reference hard-codes loss/warp sources to [-1, 1] regardless of
         # --frame_ids (trainer.py:550,558); stereo adds "s"
-        ids = [-1, 1]
-        if self.opts.use_stereo:
-            ids.append("s")
+        ids = []
+        if any(f not in (0, "s") for f in self.opts.frame_ids):
+            ids += [-1, 1]
+        if self.opts.use_stereo or "s" in self.opts.frame_ids:
+            ids += ["s"]
         return ids
 
 
@@ -59,11 +61,22 @@ def build_mono_models(opts: Options, attention_encoder: bool = False) -> MonoMod
     enc_cls = ResnetEncoderAttention if attention_encoder else ResnetEncoder
     encoder = enc_cls(opts.num_layers, dtype=dtype)
     depth = DepthDecoder(scales=tuple(opts.scales), dtype=dtype)
+    num_pose_frames = (
+        2 if opts.pose_model_input == "pairs"
+        else len([f for f in opts.frame_ids if f != "s"])
+    )
     if opts.pose_model_type == "posecnn":
         pose_encoder = None
-        pose = PoseCNN(num_input_frames=2, dtype=dtype)
+        pose = PoseCNN(num_input_frames=num_pose_frames, dtype=dtype)
+    elif opts.pose_model_type == "shared":
+        # monodepthv1-style: pose decoder reads the depth encoder's features
+        pose_encoder = None
+        pose = PoseDecoder(num_input_features=2, num_frames_to_predict_for=1,
+                           dtype=dtype)
     else:
-        pose_encoder = ResnetEncoder(opts.num_layers, num_input_images=2, dtype=dtype)
+        pose_encoder = ResnetEncoder(opts.num_layers,
+                                     num_input_images=num_pose_frames,
+                                     dtype=dtype)
         pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2,
                            dtype=dtype)
     return MonoModels(encoder, depth, pose_encoder, pose, opts)
@@ -86,7 +99,11 @@ def init_mono_params(models: MonoModels, rng, sample_inputs):
     )
     params["depth"] = models.depth.init(k2, feats)["params"]
 
-    pair = jnp.concatenate([x0, x0], axis=-1)
+    n_pose = (
+        2 if opts.pose_model_input == "pairs"
+        else len([f for f in opts.frame_ids if f != "s"])
+    )
+    pair = jnp.concatenate([x0] * n_pose, axis=-1)
     if models.pose_encoder is not None:
         v = models.pose_encoder.init(k3, pair, True)
         params["pose_encoder"] = v["params"]
@@ -97,6 +114,8 @@ def init_mono_params(models: MonoModels, rng, sample_inputs):
             pair, False,
         )
         params["pose"] = models.pose.init(k4, [pfeats])["params"]
+    elif models.opts.pose_model_type == "shared":
+        params["pose"] = models.pose.init(k4, [feats, feats])["params"]
     else:
         params["pose"] = models.pose.init(k4, pair)["params"]
     return params, batch_stats
@@ -111,38 +130,94 @@ def _apply_bn(module, params, batch_stats, *args, train: bool):
     return module.apply(variables, *args, False), batch_stats
 
 
-def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool):
+def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool,
+                  shared_features=None):
     """Per-source-frame SE(3) prediction (reference trainer.py:375-442).
 
-    Pose pairs are ordered temporally: (f, 0) for f<0 and (0, f) for f>0,
-    with ``invert=f<0``.
+    Pose pairs are ordered temporally — (f, 0) for f<0, (0, f) for f>0 —
+    with ``invert=f<0``. The fork hard-codes the temporal sources to
+    [-1, 1] regardless of --frame_ids (trainer.py:393); we keep that.
+
+    TPU note: in "pairs" mode both pose pairs ride the batch axis through
+    ONE pose-encoder pass (frame-axis batching) instead of two sequential
+    passes — with our sync-BN-over-the-global-batch semantics this is
+    exactly equivalent modulo BN statistics pooling.
+
+    ``shared_features``: dict frame_id -> encoder feature list, required
+    for --pose_model_type shared (features from the depth encoder).
     """
     opts = models.opts
     outputs = {}
     new_bs = {}
-    frames = {i: inputs[f"color_aug/{i}/0"] for i in opts.frame_ids if i != "s"}
-    for f in opts.frame_ids[1:]:
-        if f == "s":
-            continue
-        if f < 0:
-            pair = jnp.concatenate([frames[f], frames[0]], axis=-1)
-        else:
-            pair = jnp.concatenate([frames[0], frames[f]], axis=-1)
-        if models.pose_encoder is not None:
-            pfeats, bs = _apply_bn(
-                models.pose_encoder, params["pose_encoder"],
-                batch_stats.get("pose_encoder", {}), pair, train=train,
-            )
-            new_bs["pose_encoder"] = bs
-            aa, t = models.pose.apply({"params": params["pose"]}, [pfeats])
-        else:
-            aa, t = models.pose.apply({"params": params["pose"]}, pair)
+    source_frames = [-1, 1]
+    num_pose_frames = 2 if opts.pose_model_input == "pairs" else len(
+        [f for f in opts.frame_ids if f != "s"])
+
+    def emit(f, aa, t, idx, invert):
+        # aa/t: (B, k, 1, 3) as produced by the pose heads; the stored full
+        # tensors feed the posecnn re-scaling path in generate_images_pred
         outputs[f"axisangle/0/{f}"] = aa
         outputs[f"translation/0/{f}"] = t
         outputs[f"cam_T_cam/0/{f}"] = transformation_from_parameters(
-            aa[:, 0].astype(jnp.float32), t[:, 0].astype(jnp.float32),
-            invert=(f < 0),
+            aa[:, idx].astype(jnp.float32), t[:, idx].astype(jnp.float32),
+            invert=invert,
         )
+
+    if num_pose_frames != 2:
+        # all-frames-at-once mode (reference trainer.py:420-442); no invert
+        ids = [f for f in opts.frame_ids if f != "s"]
+        if opts.pose_model_type == "shared":
+            aa, t = models.pose.apply(
+                {"params": params["pose"]}, [shared_features[i] for i in ids]
+            )
+        else:
+            stacked = jnp.concatenate(
+                [inputs[f"color_aug/{i}/0"] for i in ids], axis=-1
+            )
+            if models.pose_encoder is not None:
+                pfeats, bs = _apply_bn(
+                    models.pose_encoder, params["pose_encoder"],
+                    batch_stats.get("pose_encoder", {}), stacked, train=train,
+                )
+                new_bs["pose_encoder"] = bs
+                aa, t = models.pose.apply({"params": params["pose"]}, [pfeats])
+            else:
+                aa, t = models.pose.apply({"params": params["pose"]}, stacked)
+        for i, f in enumerate(ids[1:]):
+            emit(f, aa, t, idx=i, invert=False)
+        return outputs, new_bs
+
+    if opts.pose_model_type == "shared":
+        for f in source_frames:
+            pose_inputs = (
+                [shared_features[f], shared_features[0]] if f < 0
+                else [shared_features[0], shared_features[f]]
+            )
+            aa, t = models.pose.apply({"params": params["pose"]}, pose_inputs)
+            emit(f, aa, t, idx=0, invert=(f < 0))
+        return outputs, new_bs
+
+    frames = {i: inputs[f"color_aug/{i}/0"] for i in (-1, 0, 1)}
+    B = frames[0].shape[0]
+    pairs = jnp.concatenate(
+        [
+            jnp.concatenate([frames[-1], frames[0]], axis=-1),
+            jnp.concatenate([frames[0], frames[1]], axis=-1),
+        ],
+        axis=0,
+    )
+    if models.pose_encoder is not None:
+        pfeats, bs = _apply_bn(
+            models.pose_encoder, params["pose_encoder"],
+            batch_stats.get("pose_encoder", {}), pairs, train=train,
+        )
+        new_bs["pose_encoder"] = bs
+        aa, t = models.pose.apply({"params": params["pose"]}, [pfeats])
+    else:
+        aa, t = models.pose.apply({"params": params["pose"]}, pairs)
+    for i, f in enumerate(source_frames):
+        emit(f, aa[i * B:(i + 1) * B], t[i * B:(i + 1) * B], idx=0,
+             invert=(f < 0))
     return outputs, new_bs
 
 
@@ -239,14 +314,36 @@ def mono_loss_fn(models: MonoModels, params, batch_stats, inputs, rng,
     dtype = jnp.bfloat16 if opts.compute_dtype == "bfloat16" else jnp.float32
     x0 = x0.astype(dtype)
 
-    feats, bs = _apply_bn(models.encoder, params["encoder"],
-                          batch_stats.get("encoder", {}), x0, train=train)
-    new_bs["encoder"] = bs
+    shared_features = None
+    if opts.pose_model_type == "shared":
+        # monodepthv1 shared encoder: all frames through the depth encoder
+        # in one frame-axis-batched pass (reference trainer.py:264-278)
+        ids = [i for i in opts.frame_ids if i != "s"]
+        stacked = jnp.concatenate(
+            [inputs[f"color_aug/{i}/0"].astype(dtype) for i in ids], axis=0
+        )
+        all_feats, bs = _apply_bn(models.encoder, params["encoder"],
+                                  batch_stats.get("encoder", {}), stacked,
+                                  train=train)
+        new_bs["encoder"] = bs
+        B = x0.shape[0]
+        shared_features = {
+            f: [feat[j * B:(j + 1) * B] for feat in all_feats]
+            for j, f in enumerate(ids)
+        }
+        feats = shared_features[0]
+    else:
+        feats, bs = _apply_bn(models.encoder, params["encoder"],
+                              batch_stats.get("encoder", {}), x0, train=train)
+        new_bs["encoder"] = bs
     outputs = models.depth.apply({"params": params["depth"]}, feats)
 
-    pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
-    outputs.update(pose_out)
-    new_bs.update(pose_bs)
+    use_pose_net = not (opts.use_stereo and list(opts.frame_ids) == [0])
+    if use_pose_net:
+        pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs,
+                                          train, shared_features=shared_features)
+        outputs.update(pose_out)
+        new_bs.update(pose_bs)
 
     outputs = generate_images_pred(inputs, outputs, opts, models.source_ids)
     losses = compute_losses(inputs, outputs, opts, models.source_ids, rng)

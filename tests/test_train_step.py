@@ -107,3 +107,32 @@ def test_mono_train_step_multichip():
     # params remain replicated after the update
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_mono_train_step_shared_pose():
+    opts = small_opts(pose_model_type="shared")
+    batch = make_synthetic_batch(2, H, W)
+    models, state = make_state(opts, batch)
+    step = make_mono_train_step(models)
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_mono_train_step_pose_all_frames():
+    opts = small_opts(pose_model_input="all")
+    batch = make_synthetic_batch(2, H, W)
+    models, state = make_state(opts, batch)
+    step = make_mono_train_step(models)
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
+
+
+def test_mono_train_step_stereo():
+    opts = small_opts(use_stereo=True, frame_ids=[0, -1, 1, "s"])
+    batch = make_synthetic_batch(2, H, W, frame_idxs=(0, -1, 1, "s"))
+    batch["stereo_T"] = np.tile(np.eye(4, dtype=np.float32)[None], (2, 1, 1))
+    batch["stereo_T"][:, 0, 3] = 0.1
+    models, state = make_state(opts, batch)
+    step = make_mono_train_step(models)
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
