@@ -31,7 +31,8 @@ from ..ops import (
     smooth_loss,
     transformation_from_parameters,
 )
-from ..ops.losses import photometric_loss
+from ..ops.warp import grid_sample_mxu
+from ..ops.losses import photometric_loss, reprojection_loss
 
 
 @dataclasses.dataclass
@@ -223,14 +224,22 @@ def predict_poses(models: MonoModels, params, batch_stats, inputs, train: bool,
 
 def generate_images_pred(inputs, outputs, opts: Options, source_ids):
     """Warp source frames into frame 0 using predicted depth + pose
-    (reference trainer.py:465-515)."""
+    (reference trainer.py:465-515).
+
+    All (scale, source) warps sample full-resolution images (the
+    non-v1_multiscale path), so the coordinates are computed per pair and
+    the bilinear sampling of all S*F pairs runs as ONE batched warp —
+    larger MXU matmuls, one kernel instead of eight.
+    """
     H, W = opts.height, opts.width
+    pairs = []  # (scale, f, src_image, coords)
     for scale in opts.scales:
         disp = outputs[f"disp/{scale}"].astype(jnp.float32)
         if opts.v1_multiscale:
             source_scale = scale
         else:
-            disp = resize_bilinear(disp, (H, W), align_corners=False)
+            if disp.shape[1:3] != (H, W):
+                disp = resize_bilinear(disp, (H, W), align_corners=False)
             source_scale = 0
         _, depth = disp_to_depth(disp, opts.min_depth, opts.max_depth)
         outputs[f"depth/0/{scale}"] = depth
@@ -255,17 +264,75 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
                 T,
             )
             outputs[f"sample/{f}/{scale}"] = pix
-            outputs[f"color/{f}/{scale}"] = grid_sample(
-                inputs[f"color/{f}/{source_scale}"].astype(jnp.float32), pix
-            )
+            src = inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
+            pairs.append((scale, f, src, pix))
+
+    # bf16 training uses the MXU one-hot warp (4x faster than XLA's gather
+    # lowering), batched over every (scale, source) pair; f32 paths keep
+    # the exact gather
+    sampler = grid_sample_mxu if opts.compute_dtype == "bfloat16" else grid_sample
+    same_shape = len({p[2].shape for p in pairs}) == 1
+    if same_shape and len(pairs) > 1:
+        src_all = jnp.concatenate([p[2] for p in pairs], axis=0)
+        pix_all = jnp.concatenate([p[3] for p in pairs], axis=0)
+        warped = sampler(src_all, pix_all)
+        B = pairs[0][2].shape[0]
+        for i, (scale, f, _, _) in enumerate(pairs):
+            outputs[f"color/{f}/{scale}"] = warped[i * B:(i + 1) * B]
+    else:
+        for scale, f, src, pix in pairs:
+            outputs[f"color/{f}/{scale}"] = sampler(src, pix)
     return outputs
 
 
 def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
     """Min-reprojection + automask + smoothness over scales
-    (reference trainer.py:517-622)."""
+    (reference trainer.py:517-622).
+
+    TPU scheduling: on the (default) non-v1_multiscale path every scale's
+    reprojection loss compares against the same full-res target, so the
+    S*F SSIM+L1 maps run as ONE batched call, and the identity
+    reprojection losses — which the reference recomputes identically for
+    every scale (trainer.py:562-570) — are computed once and shared.
+    """
     losses = {}
     total = 0.0
+    S = len(opts.scales)
+    F = len(source_ids)
+
+    batched = not opts.v1_multiscale
+    rep_by_scale = {}
+    ident_shared = None
+    if batched:
+        target0 = inputs["color/0/0"].astype(jnp.float32)
+        B = target0.shape[0]
+        preds_all = jnp.concatenate(
+            [outputs[f"color/{f}/{s}"].astype(jnp.float32)
+             for s in opts.scales for f in source_ids],
+            axis=0,
+        )
+        rep_all = reprojection_loss(
+            preds_all, jnp.tile(target0, (S * F, 1, 1, 1)), opts.no_ssim
+        )
+        for i, s in enumerate(opts.scales):
+            rep_by_scale[s] = jnp.concatenate(
+                [rep_all[(i * F + j) * B:(i * F + j + 1) * B]
+                 for j in range(F)],
+                axis=-1,
+            )
+        if not opts.disable_automasking:
+            idents_all = jnp.concatenate(
+                [inputs[f"color/{f}/0"].astype(jnp.float32)
+                 for f in source_ids],
+                axis=0,
+            )
+            ident_all = reprojection_loss(
+                idents_all, jnp.tile(target0, (F, 1, 1, 1)), opts.no_ssim
+            )
+            ident_shared = jnp.concatenate(
+                [ident_all[j * B:(j + 1) * B] for j in range(F)], axis=-1
+            )
+
     for scale in opts.scales:
         source_scale = scale if opts.v1_multiscale else 0
         disp = outputs[f"disp/{scale}"].astype(jnp.float32)
@@ -275,22 +342,48 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
         # compute_losses uses source_scale color)
         if disp.shape[1:3] != color.shape[1:3]:
             color = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
-        target = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
 
-        preds = [outputs[f"color/{f}/{scale}"] for f in source_ids]
-        idents = [
-            inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
-            for f in source_ids
-        ]
-        key = None
-        if rng is not None and not opts.disable_automasking:
-            rng, key = jax.random.split(rng)
-        per_pixel, mask = photometric_loss(
-            preds, idents, target, key,
-            no_ssim=opts.no_ssim,
-            disable_automasking=opts.disable_automasking,
-            avg_reprojection=opts.avg_reprojection,
-        )
+        if batched:
+            reproj = rep_by_scale[scale]
+            if opts.avg_reprojection:
+                reproj = jnp.mean(reproj, axis=-1, keepdims=True)
+            if opts.disable_automasking:
+                combined = reproj
+                n_ident = 0
+            else:
+                ident = ident_shared
+                if opts.avg_reprojection:
+                    ident = jnp.mean(ident, axis=-1, keepdims=True)
+                if rng is not None:
+                    rng, key = jax.random.split(rng)
+                    ident = ident + jax.random.normal(
+                        key, ident.shape, ident.dtype) * 1e-5
+                n_ident = ident.shape[-1]
+                combined = jnp.concatenate([ident, reproj], axis=-1)
+            if combined.shape[-1] == 1:
+                per_pixel = combined
+                idxs = jnp.zeros_like(combined, dtype=jnp.int32)
+            else:
+                per_pixel = jnp.min(combined, axis=-1, keepdims=True)
+                idxs = jnp.argmin(combined, axis=-1, keepdims=True)
+            mask = ((idxs > n_ident - 1).astype(combined.dtype)
+                    if n_ident else jnp.ones_like(per_pixel))
+        else:
+            target = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
+            preds = [outputs[f"color/{f}/{scale}"] for f in source_ids]
+            idents = [
+                inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
+                for f in source_ids
+            ]
+            key = None
+            if rng is not None and not opts.disable_automasking:
+                rng, key = jax.random.split(rng)
+            per_pixel, mask = photometric_loss(
+                preds, idents, target, key,
+                no_ssim=opts.no_ssim,
+                disable_automasking=opts.disable_automasking,
+                avg_reprojection=opts.avg_reprojection,
+            )
         outputs[f"identity_selection/{scale}"] = mask
         loss = jnp.mean(per_pixel)
 
@@ -301,7 +394,7 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
         )
         losses[f"loss/{scale}"] = loss
         total = total + loss
-    losses["loss"] = total / len(opts.scales)
+    losses["loss"] = total / S
     return losses
 
 
