@@ -268,20 +268,13 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
             pairs.append((scale, f, src, pix))
 
     # bf16 training uses the MXU one-hot warp (4x faster than XLA's gather
-    # lowering), batched over every (scale, source) pair; f32 paths keep
-    # the exact gather
+    # lowering); f32 paths keep the exact gather. Warps run per (scale,
+    # source) pair — concatenating all pairs into one call was measured
+    # SLOWER (155 ms vs 97 ms for 8 pairs at B=16): the warp is bound by
+    # one-hot/intermediate HBM traffic, which batching only inflates.
     sampler = grid_sample_mxu if opts.compute_dtype == "bfloat16" else grid_sample
-    same_shape = len({p[2].shape for p in pairs}) == 1
-    if same_shape and len(pairs) > 1:
-        src_all = jnp.concatenate([p[2] for p in pairs], axis=0)
-        pix_all = jnp.concatenate([p[3] for p in pairs], axis=0)
-        warped = sampler(src_all, pix_all)
-        B = pairs[0][2].shape[0]
-        for i, (scale, f, _, _) in enumerate(pairs):
-            outputs[f"color/{f}/{scale}"] = warped[i * B:(i + 1) * B]
-    else:
-        for scale, f, src, pix in pairs:
-            outputs[f"color/{f}/{scale}"] = sampler(src, pix)
+    for scale, f, src, pix in pairs:
+        outputs[f"color/{f}/{scale}"] = sampler(src, pix)
     return outputs
 
 

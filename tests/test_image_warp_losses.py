@@ -207,3 +207,24 @@ def test_photometric_loss_no_automask():
     # min over the two reprojection losses = the closer pred
     expected = reprojection_loss(preds[1], target)
     np.testing.assert_allclose(np.asarray(loss), np.asarray(expected), atol=1e-6)
+
+
+def test_grid_sample_mxu_matches_gather(rng):
+    """MXU one-hot warp == gather warp up to bf16 rounding."""
+    from ssde_tpu.ops.warp import grid_sample_mxu
+
+    img = rng.rand(2, 16, 32, 3).astype(np.float32)
+    grid = (rng.rand(2, 16, 32, 2).astype(np.float32) * 2.4 - 1.2)
+    a = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    b = np.asarray(grid_sample_mxu(jnp.asarray(img), jnp.asarray(grid), chunk=8))
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_grid_sample_mxu_gradients(rng):
+    from ssde_tpu.ops.warp import grid_sample_mxu
+
+    img = jnp.asarray(rng.rand(1, 8, 16, 1).astype(np.float32))
+    grid = jnp.asarray(rng.rand(1, 8, 16, 2).astype(np.float32) * 1.2 - 0.6)
+    g1 = jax.grad(lambda g: jnp.sum(grid_sample(img, g) ** 2))(grid)
+    g2 = jax.grad(lambda g: jnp.sum(grid_sample_mxu(img, g, chunk=8) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=0.12)
