@@ -250,4 +250,123 @@ def load_monodepth2_checkpoint(folder: str):
     pose_path = os.path.join(folder, "pose.pth")
     if os.path.exists(pose_path):
         params["pose"] = convert_pose_decoder(_load_torch_state_dict(pose_path))
+    gru_path = os.path.join(folder, "gru.pth")
+    if os.path.exists(gru_path):
+        params["gru"] = convert_gru_blocks(_load_torch_state_dict(gru_path))
+    head_path = os.path.join(folder, "head.pth")
+    if os.path.exists(head_path):
+        params["head"] = convert_head(_load_torch_state_dict(head_path))
+    fusion_path = os.path.join(folder, "fusion.pth")
+    if os.path.exists(fusion_path):
+        params["fusion"] = convert_fusion_v2(_load_torch_state_dict(fusion_path))
     return params, stats, meta
+
+
+def _convert_attention_conv(sd, prefix, out, out_prefix):
+    """rnn.py/fusion_v2.py AttentionConv params -> flax AttentionConv tree.
+
+    rel_h torch shape (C/2,1,1,k,1) or (1,1,1,k,1) -> ours (C/2,k) or (k,).
+    """
+    for name in ("key_conv", "query_conv", "value_conv"):
+        w = sd.get(f"{prefix}.{name}.weight")
+        if w is not None:
+            _set(out, f"{out_prefix}/{name}/kernel", _conv_kernel(w))
+        b = sd.get(f"{prefix}.{name}.bias")
+        if b is not None:
+            _set(out, f"{out_prefix}/{name}/bias", b)
+    for rel in ("rel_h", "rel_w"):
+        r = sd.get(f"{prefix}.{rel}")
+        if r is not None:
+            r = np.asarray(r)
+            r = r.reshape(r.shape[0], -1) if r.shape[0] > 1 else r.reshape(-1)
+            _set(out, f"{out_prefix}/{rel}", r)
+
+
+def _convert_rcu(sd, prefix, out, out_prefix):
+    """ResidualConvUnit or ResidualAttentionUnit under ``prefix``."""
+    if f"{prefix}.conv1.weight" in sd:  # conv variant
+        for i in (1, 2):
+            _set(out, f"{out_prefix}/conv{i}/kernel",
+                 _conv_kernel(sd[f"{prefix}.conv{i}.weight"]))
+            _set(out, f"{out_prefix}/conv{i}/bias", sd[f"{prefix}.conv{i}.bias"])
+    else:  # attention variant
+        for i in (1, 2):
+            _convert_attention_conv(sd, f"{prefix}.atten{i}", out,
+                                    f"{out_prefix}/atten{i}")
+
+
+def convert_gru_blocks(sd: Dict[str, np.ndarray], cell: str = "gru"):
+    """Reference ConvGRUBlocks_v* .pth -> flax ConvGRUBlocks params.
+
+    Key layout (reference rnn.py): ``cgru_{s}.h0_layer1`` (1, C, H, W),
+    ``cgru_{s}.cgru_1.conv_gates/conv_can`` (GRU) or ``.clstm_1.conv``
+    (LSTM), per-scale heads ``conv3x3_{s}.conv`` and fusion blocks
+    ``fusion_{s}.*``."""
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        if parts[0].startswith("cgru_"):
+            unit = parts[0]
+            if parts[1] in ("h0_layer1", "c0_layer1"):
+                name = "h0" if parts[1] == "h0_layer1" else "c0"
+                _set(params, f"{unit}/{name}", np.transpose(v, (0, 2, 3, 1)))
+            elif parts[1] in ("cgru_1", "clstm_1"):
+                conv = parts[2]  # conv_gates | conv_can | conv
+                field = "kernel" if parts[-1] == "weight" else "bias"
+                value = _conv_kernel(v) if parts[-1] == "weight" else v
+                _set(params, f"{unit}/cell/{conv}/{field}", value)
+        elif parts[0].startswith("conv3x3_"):
+            field = "kernel" if parts[-1] == "weight" else "bias"
+            value = _conv_kernel(v) if parts[-1] == "weight" else v
+            _set(params, f"{parts[0]}/conv/{field}", value)
+    # fusion blocks (attention or conv residual units + conv3x3 head)
+    fusion_prefixes = sorted({k.split(".")[0] for k in sd
+                              if k.startswith("fusion_")})
+    for fp in fusion_prefixes:
+        for rcu in ("resConfUnit1", "resConfUnit2", "resConfUnit3"):
+            if any(k.startswith(f"{fp}.{rcu}.") for k in sd):
+                _convert_rcu(sd, f"{fp}.{rcu}", params, f"{fp}/{rcu}")
+        if f"{fp}.conv3x3.conv.weight" in sd:
+            _set(params, f"{fp}/conv3x3/conv/kernel",
+                 _conv_kernel(sd[f"{fp}.conv3x3.conv.weight"]))
+            _set(params, f"{fp}/conv3x3/conv/bias", sd[f"{fp}.conv3x3.conv.bias"])
+    return params
+
+
+def convert_head(sd: Dict[str, np.ndarray]):
+    """Reference Head_v4/Head_v7 .pth -> flax Head params."""
+    params: dict = {}
+    for key, v in sd.items():
+        parts = key.split(".")
+        field = "kernel" if parts[-1] == "weight" else "bias"
+        value = _conv_kernel(v) if parts[-1] == "weight" else v
+        _set(params, f"{parts[0]}/conv/{field}", value)
+    return params
+
+
+def convert_fusion_v2(sd: Dict[str, np.ndarray]):
+    """Reference fusion_v2.Fusion / Fusion_v3 .pth -> flax params.
+
+    Blocks ``fusion_block_{n}`` with residual units, conv_init/conv_1 and
+    UpscalePS convs."""
+    params: dict = {}
+    blocks = sorted({k.split(".")[0] for k in sd if k.startswith("fusion_block")})
+    for bp in blocks:
+        for rcu in ("resConfUnit1", "resConfUnit2", "resConfUnit3"):
+            if any(k.startswith(f"{bp}.{rcu}.") for k in sd):
+                _convert_rcu(sd, f"{bp}.{rcu}", params, f"{bp}/{rcu}")
+        for conv in ("conv_init", "conv_1"):
+            if f"{bp}.{conv}.weight" in sd:
+                _set(params, f"{bp}/{conv}/kernel",
+                     _conv_kernel(sd[f"{bp}.{conv}.weight"]))
+                _set(params, f"{bp}/{conv}/bias", sd[f"{bp}.{conv}.bias"])
+        if f"{bp}.conv3x3.conv.weight" in sd:
+            _set(params, f"{bp}/conv3x3/conv/kernel",
+                 _conv_kernel(sd[f"{bp}.conv3x3.conv.weight"]))
+            _set(params, f"{bp}/conv3x3/conv/bias", sd[f"{bp}.conv3x3.conv.bias"])
+        for ups in ("upscale", "upscale_1", "upscale_2"):
+            if f"{bp}.{ups}.conv.weight" in sd:
+                _set(params, f"{bp}/{ups}/conv/kernel",
+                     _conv_kernel(sd[f"{bp}.{ups}.conv.weight"]))
+                _set(params, f"{bp}/{ups}/conv/bias", sd[f"{bp}.{ups}.conv.bias"])
+    return params

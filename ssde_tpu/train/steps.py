@@ -44,6 +44,7 @@ class MonoModels:
     pose_encoder: Optional[Any]
     pose: Any
     opts: Options
+    predictive_mask: Optional[Any] = None
 
     @property
     def source_ids(self) -> Sequence:
@@ -80,7 +81,20 @@ def build_mono_models(opts: Options, attention_encoder: bool = False) -> MonoMod
                                      dtype=dtype)
         pose = PoseDecoder(num_input_features=1, num_frames_to_predict_for=2,
                            dtype=dtype)
-    return MonoModels(encoder, depth, pose_encoder, pose, opts)
+    pred_mask = None
+    if opts.predictive_mask:
+        # Zhou et al. explainability mask: a second decoder emitting one
+        # sigmoid mask channel per source frame (reference trainer.py:141-149)
+        assert opts.disable_automasking, (
+            "--predictive_mask requires --disable_automasking (reference "
+            "trainer.py asserts the same)"
+        )
+        pred_mask = DepthDecoder(
+            scales=tuple(opts.scales),
+            num_output_channels=len(opts.frame_ids) - 1,
+            dtype=dtype,
+        )
+    return MonoModels(encoder, depth, pose_encoder, pose, opts, pred_mask)
 
 
 def init_mono_params(models: MonoModels, rng, sample_inputs):
@@ -99,6 +113,8 @@ def init_mono_params(models: MonoModels, rng, sample_inputs):
         x0, False,
     )
     params["depth"] = models.depth.init(k2, feats)["params"]
+    if models.predictive_mask is not None:
+        params["predictive_mask"] = models.predictive_mask.init(k2, feats)["params"]
 
     n_pose = (
         2 if opts.pose_model_input == "pairs"
@@ -336,8 +352,18 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
         if disp.shape[1:3] != color.shape[1:3]:
             color = inputs[f"color/0/{source_scale}"].astype(jnp.float32)
 
+        mask_loss = 0.0
         if batched:
             reproj = rep_by_scale[scale]
+            if opts.predictive_mask and opts.disable_automasking:
+                # Zhou-style explainability mask: weight the reprojection and
+                # pull the mask toward 1 with a BCE term (trainer.py:574-588)
+                pmask = outputs["predictive_mask"][f"disp/{scale}"].astype(jnp.float32)
+                pmask = resize_bilinear(
+                    pmask, reproj.shape[1:3], align_corners=False
+                )
+                reproj = reproj * pmask
+                mask_loss = 0.2 * jnp.mean(-jnp.log(jnp.clip(pmask, 1e-7, 1.0)))
             if opts.avg_reprojection:
                 reproj = jnp.mean(reproj, axis=-1, keepdims=True)
             if opts.disable_automasking:
@@ -371,14 +397,27 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
             key = None
             if rng is not None and not opts.disable_automasking:
                 rng, key = jax.random.split(rng)
-            per_pixel, mask = photometric_loss(
-                preds, idents, target, key,
-                no_ssim=opts.no_ssim,
-                disable_automasking=opts.disable_automasking,
-                avg_reprojection=opts.avg_reprojection,
-            )
+            if opts.predictive_mask and opts.disable_automasking:
+                pmask = outputs["predictive_mask"][f"disp/{scale}"].astype(jnp.float32)
+                reproj = jnp.concatenate(
+                    [reprojection_loss(p, target, opts.no_ssim) for p in preds],
+                    axis=-1,
+                ) * pmask
+                mask_loss = 0.2 * jnp.mean(-jnp.log(jnp.clip(pmask, 1e-7, 1.0)))
+                if opts.avg_reprojection:
+                    reproj = jnp.mean(reproj, axis=-1, keepdims=True)
+                per_pixel = (jnp.min(reproj, axis=-1, keepdims=True)
+                             if reproj.shape[-1] > 1 else reproj)
+                mask = jnp.ones_like(per_pixel)
+            else:
+                per_pixel, mask = photometric_loss(
+                    preds, idents, target, key,
+                    no_ssim=opts.no_ssim,
+                    disable_automasking=opts.disable_automasking,
+                    avg_reprojection=opts.avg_reprojection,
+                )
         outputs[f"identity_selection/{scale}"] = mask
-        loss = jnp.mean(per_pixel)
+        loss = jnp.mean(per_pixel) + mask_loss
 
         mean_disp = jnp.mean(disp, axis=(1, 2), keepdims=True)
         norm_disp = disp / (mean_disp + 1e-7)
@@ -423,6 +462,10 @@ def mono_loss_fn(models: MonoModels, params, batch_stats, inputs, rng,
                               batch_stats.get("encoder", {}), x0, train=train)
         new_bs["encoder"] = bs
     outputs = models.depth.apply({"params": params["depth"]}, feats)
+    if models.predictive_mask is not None:
+        outputs["predictive_mask"] = models.predictive_mask.apply(
+            {"params": params["predictive_mask"]}, feats
+        )
 
     use_pose_net = not (opts.use_stereo and list(opts.frame_ids) == [0])
     if use_pose_net:

@@ -31,3 +31,70 @@ def sec_to_hm_str(t):
     """10239 -> '02h50m39s' (reference utils.py:41-49)."""
     h, m, s = sec_to_hm(t)
     return "{:02d}h{:02d}m{:02d}s".format(h, m, s)
+
+
+# Monodepth2 public model-zoo bootstrap (reference utils.py:51-114). The
+# (URL, md5) table is factual metadata of Niantic's published checkpoints.
+MONODEPTH2_ZOO = {
+    "mono_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono_640x192.zip",
+         "a964b8356e08a02d009609d9e3928f7c"),
+    "stereo_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/stereo_640x192.zip",
+         "3dfb76bcff0786e4ec07ac00f658dd07"),
+    "mono+stereo_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono%2Bstereo_640x192.zip",
+         "c024d69012485ed05d7eaa9617a96b81"),
+    "mono_no_pt_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono_no_pt_640x192.zip",
+         "9c2f071e35027c895a4728358ffc913a"),
+    "stereo_no_pt_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/stereo_no_pt_640x192.zip",
+         "41ec2de112905f85541ac33a854742d1"),
+    "mono+stereo_no_pt_640x192":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono%2Bstereo_no_pt_640x192.zip",
+         "46c3b824f541d143a45c37df65fbab0a"),
+    "mono_1024x320":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono_1024x320.zip",
+         "0ab0766efdfeea89a0d9ea8ba90e1e63"),
+    "stereo_1024x320":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/stereo_1024x320.zip",
+         "afc2f2126d70cf3fdf26b550898b501a"),
+    "mono+stereo_1024x320":
+        ("https://storage.googleapis.com/niantic-lon-static/research/monodepth2/mono%2Bstereo_1024x320.zip",
+         "cdc5fc9b23513c07d5b19235d9ef08f7"),
+}
+
+
+def download_model_if_doesnt_exist(model_name, models_dir="models"):
+    """Download + unzip a Monodepth2 zoo checkpoint if absent, md5-verified."""
+    import hashlib
+    import os
+    import urllib.request
+    import zipfile
+
+    os.makedirs(models_dir, exist_ok=True)
+    model_path = os.path.join(models_dir, model_name)
+
+    def md5_matches(checksum, fpath):
+        if not os.path.exists(fpath):
+            return False
+        with open(fpath, "rb") as f:
+            return hashlib.md5(f.read()).hexdigest() == checksum
+
+    if os.path.exists(os.path.join(model_path, "encoder.pth")):
+        return model_path
+
+    model_url, required_md5 = MONODEPTH2_ZOO[model_name]
+    if not md5_matches(required_md5, model_path + ".zip"):
+        print(f"-> Downloading pretrained model to {model_path}.zip")
+        urllib.request.urlretrieve(model_url, model_path + ".zip")
+    if not md5_matches(required_md5, model_path + ".zip"):
+        raise RuntimeError(
+            "Failed to download a file which matches the checksum - quitting"
+        )
+    print("   Unzipping model...")
+    with zipfile.ZipFile(model_path + ".zip", "r") as f:
+        f.extractall(model_path)
+    print(f"   Model unzipped to {model_path}")
+    return model_path

@@ -174,3 +174,44 @@ def test_convert_pose_cnn_structure():
     p = convert_pose_cnn(sd)
     assert p["conv_0"]["kernel"].shape == (7, 7, 6, 16)
     assert p["pose_conv"]["kernel"].shape == (1, 1, 256, 6)
+
+
+def test_convert_gru_blocks_roundtrip():
+    """Fabricate a reference-layout GRU .pth dict from our flax init and
+    check the converter reproduces the tree exactly."""
+    from ssde_tpu.models import make_gru, ConvGRUBlocks
+
+    Hs, Ws = 32, 64
+    block = make_gru("v3", Hs, Ws)
+    dec = {
+        f"disp/{s}": jnp.zeros((1, Hs // 2**s, Ws // 2**s, c))
+        for s, c in zip(range(4), (16, 32, 64, 128))
+    }
+    zeros = [jnp.zeros((1, Hs // 2**s, Ws // 2**s, c))
+             for s, c in zip(range(4), (16, 32, 64, 128))]
+    variables = block.init(jax.random.PRNGKey(0), dec, zeros)
+    p = jax.tree.map(np.asarray, dict(variables["params"]))
+
+    sd = {}
+    for s in range(4):
+        unit = p[f"cgru_{s}"]
+        sd[f"cgru_{s}.h0_layer1"] = np.transpose(unit["h0"], (0, 3, 1, 2))
+        for conv in ("conv_gates", "conv_can"):
+            sd[f"cgru_{s}.cgru_1.{conv}.weight"] = np.transpose(
+                unit["cell"][conv]["kernel"], (3, 2, 0, 1))
+            sd[f"cgru_{s}.cgru_1.{conv}.bias"] = unit["cell"][conv]["bias"]
+        sd[f"conv3x3_{s}.conv.weight"] = np.transpose(
+            p[f"conv3x3_{s}"]["conv"]["kernel"], (3, 2, 0, 1))
+        sd[f"conv3x3_{s}.conv.bias"] = p[f"conv3x3_{s}"]["conv"]["bias"]
+
+    from ssde_tpu.checkpoint import convert_gru_blocks
+
+    conv = convert_gru_blocks(sd)
+    flat_ref = _flat(p)
+    flat_conv = _flat(conv)
+    assert set(flat_ref) == set(flat_conv)
+    for k in flat_ref:
+        np.testing.assert_array_equal(flat_conv[k], flat_ref[k])
+    # converted params drive the block
+    out_h, disp = block.apply({"params": conv}, dec, zeros)
+    assert disp["disp/0"].shape == (1, Hs, Ws, 1)

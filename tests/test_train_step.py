@@ -136,3 +136,13 @@ def test_mono_train_step_stereo():
     step = make_mono_train_step(models)
     state, losses = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_mono_train_step_predictive_mask():
+    opts = small_opts(predictive_mask=True, disable_automasking=True)
+    batch = make_synthetic_batch(2, H, W)
+    models, state = make_state(opts, batch)
+    assert "predictive_mask" in state.params
+    step = make_mono_train_step(models)
+    state, losses = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(losses["loss"]))
