@@ -23,12 +23,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def make_mesh(num_devices: int = 0, devices=None) -> Mesh:
-    """1-D data-parallel mesh over ICI. ``num_devices==0`` -> all devices."""
+def make_mesh(num_devices: int = 0, devices=None,
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over ICI. ``num_devices==0`` -> all devices.
+
+    When ``batch_size`` is given, the mesh is clamped to the largest device
+    count that divides it (a batch of 2 on an 8-chip host uses 2 chips
+    rather than failing to shard)."""
     if devices is None:
         devices = jax.devices()
     if num_devices:
         devices = devices[:num_devices]
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 

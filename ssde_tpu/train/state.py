@@ -68,10 +68,11 @@ def create_optimizer(
     freeze_h0: bool = False,
 ) -> optax.GradientTransformation:
     schedule = make_lr_schedule(learning_rate, scheduler_step_size, steps_per_epoch)
-    tx = optax.adam(schedule)
-    if freeze_h0:
-        tx = optax.chain(_zero_h0_grads(), tx)
-    return tx
+    # always chain a leading slot (identity or h0-freeze) so swapping the
+    # freeze in mid-training keeps the optimizer state structure unchanged
+    # (both have EmptyState) and Adam moments survive the swap
+    head = _zero_h0_grads() if freeze_h0 else optax.identity()
+    return optax.chain(head, optax.adam(schedule))
 
 
 def _is_h0_path(path) -> bool:

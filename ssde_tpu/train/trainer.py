@@ -67,7 +67,7 @@ class TrainerBase:
             jax.config.update("jax_default_matmul_precision",
                               self.opt.matmul_precision)
 
-        self.mesh = make_mesh(self.opt.num_devices)
+        self.mesh = make_mesh(self.opt.num_devices, batch_size=self.opt.batch_size)
         self.step = 0
         self.epoch = 0
 
