@@ -28,6 +28,8 @@ padding_mode='border')``:
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -120,31 +122,16 @@ def grid_sample_4tap(img, grid, align_corners: bool = False):
     return out.astype(img.dtype)
 
 
-def grid_sample_mxu(img, grid, align_corners: bool = False, chunk: int = 8):
-    """Bilinear warp as one-hot matmuls on the MXU (training fast path).
+def _mxu_taps(img, x0, y0, chunk: int):
+    """Corner tap values t00, t01, t10, t11, each (B, Ho, Wo, C).
 
-    XLA's TPU gather lowering is throughput-bound and ~400x off HBM speed
-    of light for this access pattern (measured: 51 ms vs 12 ms for a
-    (16,192,640,3) warp). This formulation turns the warp into dense
-    compute the MXU eats: for each chunk of output rows, build the
-    horizontal two-tap interpolation matrix (chunk, Wo, W) as a weighted
-    one-hot, contract it with the image over W on the MXU, then apply the
-    vertical two-tap selection as a masked reduction over H.
-
-    Exact up to bfloat16 rounding of the image and interpolation weights —
-    use :func:`grid_sample` (gather) where float32-exact output is needed
-    (eval / checkpoint-parity paths).
+    t_ab = img[y0+a, x0+b] computed as pure (exact-in-bf16) one-hot
+    matmuls over a row-chunk scan: horizontal taps via an MXU contraction
+    over source columns, vertical taps via masked reductions over source
+    rows. The one-hots never hit HBM thanks to per-chunk remat.
     """
     B, H, W, C = img.shape
-    _, Ho, Wo, _ = grid.shape
-    fx, fy = _unnormalize(grid, H, W, align_corners)
-    x0 = jnp.clip(jnp.floor(fx), 0.0, max(W - 2, 0))
-    y0 = jnp.clip(jnp.floor(fy), 0.0, max(H - 2, 0))
-    wx = fx - x0
-    wy = fy - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
-
+    _, Ho, Wo = x0.shape
     imgc = img.astype(jnp.bfloat16)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
     iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, H), 3)
@@ -152,32 +139,110 @@ def grid_sample_mxu(img, grid, align_corners: bool = False, chunk: int = 8):
     if Ho % chunk:
         chunk = 1
 
-    # remat: without it the scan stacks every chunk's one-hot matrices as
-    # backward residuals — (n_chunks, B, chunk, Wo, W) = gigabytes. The
-    # one-hots are two compares + two multiplies to rebuild.
     @jax.checkpoint
     def row_chunk(carry, start):
         xs = lax.dynamic_slice_in_dim(x0, start, chunk, axis=1)
         ys = lax.dynamic_slice_in_dim(y0, start, chunk, axis=1)
-        wxs = lax.dynamic_slice_in_dim(wx, start, chunk, axis=1)
-        wys = lax.dynamic_slice_in_dim(wy, start, chunk, axis=1)
-        # horizontal two-tap interpolation matrix (B, chunk, Wo, W)
-        oh = (
-            (iota_w == xs[..., None]) * (1.0 - wxs)[..., None]
-            + (iota_w == (xs + 1)[..., None]) * wxs[..., None]
+        # both horizontal taps in one stacked one-hot (B, chunk, 2*Wo, W)
+        oh = jnp.concatenate(
+            [(iota_w == xs[..., None]), (iota_w == (xs + 1)[..., None])],
+            axis=2,
         ).astype(jnp.bfloat16)
-        # contract over source columns on the MXU
         tmp = jnp.einsum("bkjx,bhxc->bkjhc", oh, imgc,
-                         preferred_element_type=jnp.float32)
-        # vertical two-tap masked reduction over source rows
-        vy = (
-            (iota_h == ys[..., None]) * (1.0 - wys)[..., None]
-            + (iota_h == (ys + 1)[..., None]) * wys[..., None]
-        ).astype(jnp.bfloat16)
-        out = jnp.einsum("bkjh,bkjhc->bkjc", vy, tmp,
-                         preferred_element_type=jnp.float32)
-        return carry, out
+                         preferred_element_type=jnp.bfloat16)
+        m0 = (iota_h == ys[..., None]).astype(jnp.bfloat16)
+        m1 = (iota_h == (ys + 1)[..., None]).astype(jnp.bfloat16)
+        mm = jnp.concatenate([m0, m1], axis=2)  # (B, chunk, 2*Wo, H)
+        # vertical masked reductions: rows of tmp selected by y0 / y0+1
+        sel0 = jnp.einsum("bkjh,bkjhc->bkjc", mm, tmp,
+                          preferred_element_type=jnp.float32)
+        m_sw = jnp.concatenate([m1, m0], axis=2)
+        sel1 = jnp.einsum("bkjh,bkjhc->bkjc", m_sw, tmp,
+                          preferred_element_type=jnp.float32)
+        # sel0 halves: (y0,x0), (y1,x1); sel1 halves: (y1,x0), (y0,x1)
+        t00 = sel0[:, :, :Wo]
+        t11 = sel0[:, :, Wo:]
+        t10 = sel1[:, :, :Wo]
+        t01 = sel1[:, :, Wo:]
+        return carry, (t00, t01, t10, t11)
 
-    _, outs = lax.scan(row_chunk, 0, jnp.arange(Ho // chunk) * chunk)
-    out = outs.transpose(1, 0, 2, 3, 4).reshape(B, Ho, Wo, C)
-    return out.astype(img.dtype)
+    _, taps = lax.scan(row_chunk, 0, jnp.arange(Ho // chunk) * chunk)
+    return tuple(
+        t.transpose(1, 0, 2, 3, 4).reshape(B, Ho, Wo, C) for t in taps
+    )
+
+
+def _mxu_coords(img_shape, grid, align_corners):
+    _, H, W, _ = img_shape
+    fx, fy = _unnormalize(grid, H, W, align_corners)
+    x0 = jnp.clip(jnp.floor(fx), 0.0, max(W - 2, 0))
+    y0 = jnp.clip(jnp.floor(fy), 0.0, max(H - 2, 0))
+    wx = fx - x0
+    wy = fy - y0
+    # gradient masks: zero where the continuous coordinate was clamped
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        rx = (gx + 1.0) * 0.5 * (W - 1)
+        ry = (gy + 1.0) * 0.5 * (H - 1)
+        sx, sy = (W - 1) * 0.5, (H - 1) * 0.5
+    else:
+        rx = ((gx + 1.0) * W - 1.0) * 0.5
+        ry = ((gy + 1.0) * H - 1.0) * 0.5
+        sx, sy = W * 0.5, H * 0.5
+    in_x = ((rx > 0) & (rx < W - 1)).astype(jnp.float32) * sx
+    in_y = ((ry > 0) & (ry < H - 1)).astype(jnp.float32) * sy
+    return x0.astype(jnp.int32), y0.astype(jnp.int32), wx, wy, in_x, in_y
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grid_sample_mxu(img, grid, align_corners: bool = False, chunk: int = 8):
+    """Bilinear warp as one-hot matmuls on the MXU (training fast path).
+
+    XLA's TPU gather lowering is throughput-bound and ~400x off HBM speed
+    of light for this access pattern (measured: 51 ms vs ~12 ms for a
+    (16,192,640,3) warp). This formulation computes the four corner taps
+    as pure one-hot MXU contractions (exact in bf16) and lerps in f32.
+
+    Custom VJP: the backward pass needs only the saved tap values —
+    d/dwx = dout . ((1-wy)(t01-t00) + wy(t11-t10)) etc. — so it costs
+    O(output) instead of re-running the big contractions. Gradients do NOT
+    flow into ``img``: in this framework the sampled image is always raw
+    sensor data (the reference likewise discards grid_sample's image
+    gradient for its loss graph).
+
+    Exact up to bfloat16 rounding of the image; use :func:`grid_sample`
+    (gather) where float32-exact output is needed (eval / parity paths).
+    """
+    out, _ = _grid_sample_mxu_fwd(img, grid, align_corners, chunk)
+    return out
+
+
+def _grid_sample_mxu_fwd(img, grid, align_corners, chunk):
+    x0, y0, wx, wy, in_x, in_y = _mxu_coords(img.shape, grid, align_corners)
+    t00, t01, t10, t11 = _mxu_taps(img, x0, y0, chunk)
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    top = t00 * (1 - wxe) + t01 * wxe
+    bot = t10 * (1 - wxe) + t11 * wxe
+    out = (top * (1 - wye) + bot * wye).astype(img.dtype)
+    residuals = (t00, t01, t10, t11, wx, wy, in_x, in_y,
+                 jax.ShapeDtypeStruct(img.shape, img.dtype))
+    return out, residuals
+
+
+def _grid_sample_mxu_bwd(align_corners, chunk, residuals, dout):
+    t00, t01, t10, t11, wx, wy, in_x, in_y, img_spec = residuals
+    dout = dout.astype(jnp.float32)
+    wxe = wx[..., None]
+    wye = wy[..., None]
+    # d out / d wx = (1-wy)(t01 - t00) + wy(t11 - t10)
+    dwx = jnp.sum(dout * ((1 - wye) * (t01 - t00) + wye * (t11 - t10)), axis=-1)
+    dwy = jnp.sum(dout * ((1 - wxe) * (t10 - t00) + wxe * (t11 - t01)), axis=-1)
+    dgrid = jnp.stack([dwx * in_x, dwy * in_y], axis=-1)
+    # no image gradient: the sampled image is raw data (XLA drops the zeros)
+    dimg = jnp.zeros(img_spec.shape, img_spec.dtype)
+    return dimg, dgrid.astype(jnp.float32)
+
+
+grid_sample_mxu.defvjp(_grid_sample_mxu_fwd, _grid_sample_mxu_bwd)
