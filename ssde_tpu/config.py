@@ -113,6 +113,8 @@ class Options:
     use_pallas: bool = False
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False
+    # capture a jax.profiler trace of N training steps into <log_dir>/profile
+    profile_steps: int = 0
 
     @property
     def num_scales(self) -> int:

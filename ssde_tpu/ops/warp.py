@@ -166,7 +166,7 @@ def _mxu_taps(img, x0, y0, chunk: int):
         t01 = sel1[:, :, Wo:]
         return carry, (t00, t01, t10, t11)
 
-    _, taps = lax.scan(row_chunk, 0, jnp.arange(Ho // chunk) * chunk)
+    _, taps = lax.scan(row_chunk, 0, jnp.arange(Ho // chunk) * chunk, unroll=4)
     return tuple(
         t.transpose(1, 0, 2, 3, 4).reshape(B, Ho, Wo, C) for t in taps
     )

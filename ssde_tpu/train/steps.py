@@ -283,12 +283,21 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
             src = inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
             pairs.append((scale, f, src, pix))
 
-    # bf16 training uses the MXU one-hot warp (4x faster than XLA's gather
-    # lowering); f32 paths keep the exact gather. Warps run per (scale,
-    # source) pair — concatenating all pairs into one call was measured
-    # SLOWER (155 ms vs 97 ms for 8 pairs at B=16): the warp is bound by
-    # one-hot/intermediate HBM traffic, which batching only inflates.
-    sampler = grid_sample_mxu if opts.compute_dtype == "bfloat16" else grid_sample
+    # warp backend: bf16 training prefers the fused Pallas kernel on real
+    # TPUs (fastest), then the XLA MXU one-hot formulation; f32 paths keep
+    # the exact gather. Warps run per (scale, source) pair — concatenating
+    # all pairs into one call was measured SLOWER (155 ms vs 97 ms for 8
+    # pairs at B=16): the warp is bound by one-hot/intermediate HBM
+    # traffic, which batching only inflates.
+    if opts.compute_dtype == "bfloat16":
+        from ..ops.pallas import grid_sample_pallas, pallas_warp_available
+
+        if opts.use_pallas and pallas_warp_available():
+            sampler = grid_sample_pallas
+        else:
+            sampler = grid_sample_mxu
+    else:
+        sampler = grid_sample
     for scale, f, src, pix in pairs:
         outputs[f"color/{f}/{scale}"] = sampler(src, pix)
     return outputs

@@ -189,6 +189,11 @@ class TrainerBase:
         for batch_idx, batch in enumerate(self.train_loader):
             before = time.time()
             rng, key = jax.random.split(rng)
+            # optional jax.profiler window (steps 5 .. 5+profile_steps)
+            if self.opt.profile_steps and self.step == 5:
+                jax.profiler.start_trace(os.path.join(self.log_path, "profile"))
+            if self.opt.profile_steps and self.step == 5 + self.opt.profile_steps:
+                jax.profiler.stop_trace()
             sharded = shard_batch(batch, self.mesh)
             self.state, losses = self.train_step(self.state, sharded, key)
 

@@ -228,3 +228,28 @@ def test_grid_sample_mxu_gradients(rng):
     g1 = jax.grad(lambda g: jnp.sum(grid_sample(img, g) ** 2))(grid)
     g2 = jax.grad(lambda g: jnp.sum(grid_sample_mxu(img, g, chunk=8) ** 2))(grid)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=0.12)
+
+
+def test_grid_sample_pallas_interpret(rng):
+    """Pallas warp kernel (interpret mode on CPU) matches the gather warp."""
+    from ssde_tpu.ops.pallas.warp import grid_sample_pallas
+
+    img = rng.rand(1, 16, 128, 3).astype(np.float32)
+    grid = (rng.rand(1, 16, 128, 2).astype(np.float32) * 2.2 - 1.1)
+    a = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    b = np.asarray(grid_sample_pallas(jnp.asarray(img), jnp.asarray(grid),
+                                      False, 8, True))
+    np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def test_grid_sample_pallas_grad_interpret(rng):
+    from ssde_tpu.ops.pallas.warp import grid_sample_pallas
+    from ssde_tpu.ops.warp import grid_sample_mxu
+
+    img = jnp.asarray(rng.rand(1, 16, 128, 1).astype(np.float32))
+    grid = jnp.asarray(rng.rand(1, 16, 128, 2).astype(np.float32) * 1.2 - 0.6)
+    g1 = jax.grad(lambda g: jnp.sum(grid_sample_mxu(img, g) ** 2))(grid)
+    g2 = jax.grad(
+        lambda g: jnp.sum(grid_sample_pallas(img, g, False, 8, True) ** 2)
+    )(grid)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=0.15)
