@@ -252,4 +252,4 @@ def test_grid_sample_pallas_grad_interpret(rng):
     g2 = jax.grad(
         lambda g: jnp.sum(grid_sample_pallas(img, g, False, 8, True) ** 2)
     )(grid)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=0.15)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0.01, atol=0.05)
