@@ -15,3 +15,12 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("SSDE_PLATFORM"):
+    # explicit backend override (e.g. SSDE_PLATFORM=cpu for hermetic runs);
+    # needed because some TPU plugins ignore the JAX_PLATFORMS env var
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SSDE_PLATFORM"])

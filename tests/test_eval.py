@@ -1,0 +1,76 @@
+"""Evaluation protocol tests: depth metrics, flip post-process, pose ATE."""
+
+import numpy as np
+import pytest
+
+from ssde_tpu.eval.depth import (
+    batch_post_process_disparity,
+    compute_errors,
+    evaluate_depth_predictions,
+)
+from ssde_tpu.eval.pose import compute_ate, dump_xyz, evaluate_pose_sequence
+
+
+def test_compute_errors_perfect():
+    gt = np.linspace(1, 50, 100)
+    out = compute_errors(gt, gt)
+    abs_rel, sq_rel, rmse, rmse_log, a1, a2, a3 = out
+    assert abs_rel == 0 and rmse == 0
+    assert a1 == a2 == a3 == 1.0
+
+
+def test_eigen_protocol_median_scaling(rng):
+    """Predictions off by a global scale are fixed by median scaling."""
+    gt = [np.full((375, 1242), 10.0, dtype=np.float32) for _ in range(3)]
+    # scaled disparity = 1/depth; predict depth 5 (half of gt) everywhere
+    pred_disps = np.full((3, 192, 640), 1.0 / 5.0, dtype=np.float32)
+    m = evaluate_depth_predictions(pred_disps, gt, eval_split="eigen")
+    assert m["abs_rel"] < 1e-5
+    assert m["med_scale"] == pytest.approx(2.0, rel=1e-3)
+    m2 = evaluate_depth_predictions(pred_disps, gt, eval_split="eigen",
+                                    disable_median_scaling=True)
+    assert m2["abs_rel"] == pytest.approx(0.5, rel=1e-3)
+
+
+def test_flip_postprocess_shape(rng):
+    l = rng.rand(2, 8, 16).astype(np.float32)
+    r = rng.rand(2, 8, 16).astype(np.float32)
+    out = batch_post_process_disparity(l, r)
+    assert out.shape == (2, 8, 16)
+    # center column is the average of both
+    np.testing.assert_allclose(out[:, :, 8], 0.5 * (l + r)[:, :, 8], atol=1e-6)
+
+
+def test_ate_zero_for_perfect_prediction():
+    # constant forward motion
+    T = np.eye(4)
+    T[2, 3] = 1.0
+    gt_global = [np.eye(4)]
+    for _ in range(10):
+        gt_global.append(gt_global[-1] @ T)
+    gt_global = np.stack(gt_global)
+    pred = np.stack([T] * 10)
+    mean_ate, std_ate = evaluate_pose_sequence(pred, gt_global)
+    assert mean_ate == pytest.approx(0.0, abs=1e-9)
+
+
+def test_ate_positive_for_wrong_prediction():
+    T = np.eye(4)
+    T[2, 3] = 1.0
+    gt_global = [np.eye(4)]
+    for _ in range(10):
+        gt_global.append(gt_global[-1] @ T)
+    gt_global = np.stack(gt_global)
+    bad = np.eye(4)
+    bad[0, 3] = 0.5  # sideways drift
+    bad[2, 3] = 1.0
+    pred = np.stack([bad] * 10)
+    mean_ate, _ = evaluate_pose_sequence(pred, gt_global)
+    assert mean_ate > 0.01
+
+
+def test_dump_xyz_accumulates():
+    T = np.eye(4)
+    T[0, 3] = 2.0
+    xyz = dump_xyz([T, T, T])
+    np.testing.assert_allclose(xyz[-1], [6.0, 0, 0])
