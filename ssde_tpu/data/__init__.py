@@ -5,7 +5,13 @@ from .kitti import (
     KITTIOdomDataset,
     KITTIDepthDataset,
 )
-from .sequence import KITTISeqDataset, generate_frame_tuples, count_scene_frames
+from .sequence import (
+    KITTISeqDataset,
+    KITTIImagePairDataset,
+    KITTISceneDataset,
+    generate_frame_tuples,
+    count_scene_frames,
+)
 from .transforms import (
     color_jitter,
     build_pyramid,

@@ -137,3 +137,92 @@ class KITTISeqDataset:
                 [self.get_depth(f, scene, do_flip) for f in frames[1 : len(frames) - 1]]
             )
         return inputs
+
+
+class KITTIImagePairDataset:
+    """Single-image (rgb, depth) pairs (reference kitti_dataset_seq.py
+    KITTIDataset_v2, :202-306). Items: (rgb (H, W, 3) float32, depth
+    (375, 1242) float32). ``config`` keys: height, width, data_path,
+    use_color_aug."""
+
+    def __init__(self, config: dict, filenames: Sequence[str],
+                 is_train: bool = False, seed: int = 0):
+        self.config = config
+        self.filenames = list(filenames)
+        self.is_train = is_train
+        self.height = config["height"]
+        self.width = config["width"]
+        self.data_path = config["data_path"]
+        self.side_map = {"l": 2, "r": 3}
+        self._rng = random.Random(seed)
+
+    def __len__(self):
+        return len(self.filenames)
+
+    def get_image_path(self, frame_index: int, scene: str, side: int) -> str:
+        date, name = scene.split("/")
+        f_str = "{:010d}.jpg".format(frame_index)
+        return os.path.join(self.data_path, date, name,
+                            f"image_0{side}", "data", f_str)
+
+    def __getitem__(self, index):
+        from .kitti import pil_load_resized
+
+        scene, frame_index, side = self.filenames[index].split()
+        frame_index = int(frame_index)
+        do_flip = self.is_train and self._rng.random() > 0.5
+
+        rgb = pil_load_resized(
+            self.get_image_path(frame_index, scene, self.side_map[side]),
+            self.width, self.height, do_flip,
+        )
+        date, name = scene.split("/")
+        calib = os.path.join(self.data_path, date)
+        velo = os.path.join(self.data_path, date, name,
+                            "velodyne_points/data/{:010d}.bin".format(frame_index))
+        depth = generate_depth_map(calib, velo, self.side_map[side])
+        depth = _resize_nn(depth, FULL_RES_SHAPE[::-1])
+        if do_flip:
+            depth = np.fliplr(depth).copy()
+        return rgb, depth.astype(np.float32)
+
+
+class KITTISceneDataset:
+    """Whole-scene ordered frames with GT only at test ids — streaming eval
+    (reference kitti_dataset_seq.py KITTIDataset_v3, :308-373). Iterates a
+    scene's frames in order; items are (rgb, depth_or_None, frame_index)."""
+
+    def __init__(self, config: dict, scene: str, test_frames=None):
+        self.config = config
+        self.scene = scene
+        self.data_path = config["data_path"]
+        self.height = config["height"]
+        self.width = config["width"]
+        self.test_frames = set(test_frames or [])
+        date, name = scene.split("/")
+        imgs = os.path.join(self.data_path, date, name, "image_02", "data")
+        self.frame_ids = sorted(
+            int(f.split(".")[0]) for f in os.listdir(imgs) if f[0].isdigit()
+        )
+
+    def __len__(self):
+        return len(self.frame_ids)
+
+    def __getitem__(self, index):
+        from .kitti import pil_load_resized
+
+        frame_index = self.frame_ids[index]
+        date, name = self.scene.split("/")
+        path = os.path.join(self.data_path, date, name, "image_02", "data",
+                            "{:010d}.jpg".format(frame_index))
+        rgb = pil_load_resized(path, self.width, self.height, False)
+        depth = None
+        if not self.test_frames or frame_index in self.test_frames:
+            velo = os.path.join(
+                self.data_path, date, name,
+                "velodyne_points/data/{:010d}.bin".format(frame_index))
+            if os.path.exists(velo):
+                calib = os.path.join(self.data_path, date)
+                depth = generate_depth_map(calib, velo, 2)
+                depth = _resize_nn(depth, FULL_RES_SHAPE[::-1]).astype(np.float32)
+        return rgb, depth, frame_index

@@ -3,7 +3,14 @@ from .resnet import ResnetEncoder
 from .depth_decoder import DepthDecoder
 from .pose import PoseDecoder, PoseCNN
 from .attention import AttentionConv, AttentionStem, ResidualAttentionUnit
-from .attention_resnet import ResnetEncoderAttention, AttentionResNet
+from .attention_resnet import (
+    ResnetEncoderAttention,
+    AttentionResNet,
+    AttentionResNet18,
+    AttentionResNet26,
+    AttentionResNet38,
+    AttentionResNet50,
+)
 from .fusion import (
     FeatureFusionBlock,
     FeatureFusionBlock_v2,

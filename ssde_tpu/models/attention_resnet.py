@@ -115,3 +115,20 @@ class AttentionResNet(nn.Module):
             features.append(x)
             planes *= 2
         return features
+
+
+def AttentionResNet18(**kw):
+    """attention_model.ResNet18 preset (reference attention_model.py:228)."""
+    return AttentionResNet(num_blocks=(2, 2, 2, 2), **kw)
+
+
+def AttentionResNet26(**kw):
+    return AttentionResNet(num_blocks=(1, 2, 4, 1), **kw)
+
+
+def AttentionResNet38(**kw):
+    return AttentionResNet(num_blocks=(2, 3, 5, 2), **kw)
+
+
+def AttentionResNet50(**kw):
+    return AttentionResNet(num_blocks=(3, 4, 6, 3), **kw)
