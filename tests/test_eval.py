@@ -74,3 +74,37 @@ def test_dump_xyz_accumulates():
     T[0, 3] = 2.0
     xyz = dump_xyz([T, T, T])
     np.testing.assert_allclose(xyz[-1], [6.0, 0, 0])
+
+
+def test_gru_stream_evaluator(tmp_path):
+    """Stateful runners: single / warmup / scene protocols on tiny shapes."""
+    import jax
+    import numpy as np
+    from ssde_tpu.config import Options
+    from ssde_tpu.data.pipeline import collate
+    from ssde_tpu.data.synthetic import SyntheticSeqDataset
+    from ssde_tpu.eval.gru_runners import GRUStreamEvaluator
+    from ssde_tpu.train.steps_gru import build_gru_models, init_gru_params
+
+    opts = Options(height=32, width=64, batch_size=1, len_sequence=2,
+                   compute_dtype="float32", gru_version="v9",
+                   disable_attention=True, scales=[0, 1, 2, 3])
+    models = build_gru_models(opts)
+    ds = SyntheticSeqDataset(32, 64, n=2, length=1)
+    batch = collate([ds[0]])
+    params, stats = init_gru_params(models, jax.random.PRNGKey(0), batch)
+    ev = GRUStreamEvaluator(models, params, stats)
+
+    frame = np.random.RandomState(0).rand(1, 32, 64, 3).astype(np.float32)
+    d1 = ev.predict_single(frame)
+    assert d1.shape == (1, 32, 64)
+    prev = [np.random.RandomState(i).rand(1, 32, 64, 3).astype(np.float32)
+            for i in range(2)]
+    d2 = ev.predict_with_warmup(prev, frame)
+    assert d2.shape == (1, 32, 64)
+    # warm-up changes the hidden state, so predictions differ
+    assert np.abs(d1 - d2).max() > 1e-7
+    scene = ev.predict_scene(prev + [frame])
+    assert len(scene) == 3 and scene[-1].shape == (1, 32, 64)
+    # the final streamed frame equals the warmup-protocol prediction
+    np.testing.assert_allclose(scene[-1], d2, atol=1e-6)
