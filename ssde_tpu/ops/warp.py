@@ -196,13 +196,20 @@ def _mxu_coords(img_shape, grid, align_corners):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def grid_sample_mxu(img, grid, align_corners: bool = False, chunk: int = 8):
+def grid_sample_mxu(img, grid, align_corners: bool = False,
+                    chunk: int = None):
     """Bilinear warp as one-hot matmuls on the MXU (training fast path).
 
     XLA's TPU gather lowering is throughput-bound and ~400x off HBM speed
     of light for this access pattern (measured: 51 ms vs ~12 ms for a
     (16,192,640,3) warp). This formulation computes the four corner taps
     as pure one-hot MXU contractions (exact in bf16) and lerps in f32.
+
+    Row-chunk tuning (end-to-end measured, v5e): chunk=1 (per output row)
+    is fastest — 60.0 samples/s vs 44.2 (chunk 8), 30.9 (16), 28.9 (32) —
+    because per-iteration intermediates then stay in VMEM and fuse across
+    the two einsums instead of round-tripping HBM. Override with
+    SSDE_WARP_CHUNK.
 
     Custom VJP: the backward pass needs only the saved tap values —
     d/dwx = dout . ((1-wy)(t01-t00) + wy(t11-t10)) etc. — so it costs
@@ -219,6 +226,10 @@ def grid_sample_mxu(img, grid, align_corners: bool = False, chunk: int = 8):
 
 
 def _grid_sample_mxu_fwd(img, grid, align_corners, chunk):
+    if chunk is None:
+        import os
+
+        chunk = int(os.environ.get("SSDE_WARP_CHUNK", "1"))
     x0, y0, wx, wy, in_x, in_y = _mxu_coords(img.shape, grid, align_corners)
     t00, t01, t10, t11 = _mxu_taps(img, x0, y0, chunk)
     wxe = wx[..., None]
