@@ -175,16 +175,27 @@ def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
     new_bs = dict(batch_stats)
 
     x = inputs["color_aug/0/0"].astype(dtype)  # (B*T, H, W, 3)
-    feats, bs = _apply_bn(models.encoder, params["encoder"],
-                          batch_stats.get("encoder", {}), x, train=train)
+
+    # remat the B*T-frame encoder (and decoder): the sequence step's
+    # activation footprint is T x the mono step's — without remat, B=8,T=3
+    # at 640x192 already exceeds 16 GB HBM
+    def enc_fn(p, bs_in, xx):
+        return _apply_bn(models.encoder, p, bs_in, xx, train=train)
+
+    feats, bs = jax.checkpoint(enc_fn)(
+        params["encoder"], batch_stats.get("encoder", {}), x
+    )
     new_bs["encoder"] = bs
 
     if opts.gru_version == "v5":
         outputs = gru_unroll(models, params, feats, B, T)
     else:
         pre_disp = opts.gru_version in PRE_DISP_VERSIONS and bool(opts.gru_pre_disp)
-        dec = models.depth.apply({"params": params["depth"]}, feats,
-                                 pre_disp=pre_disp)
+
+        def dec_fn(p, fs):
+            return models.depth.apply({"params": p}, fs, pre_disp=pre_disp)
+
+        dec = jax.checkpoint(dec_fn)(params["depth"], feats)
         outputs = gru_unroll(models, params, dec, B, T)
 
     pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
