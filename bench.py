@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
 
+    from ssde_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     from ssde_tpu.config import Options
     from ssde_tpu.data import make_synthetic_batch
     from ssde_tpu.data.transforms import preprocess_batch

@@ -34,9 +34,11 @@ int64_t project_velodyne(const float* pts, int64_t n, const double* P,
         const double depth = use_vel_depth ? (double)x : w_h;
         if (depth <= 0.0) continue;
 
-        // devkit convention: -1 so pixel centers start at 0
-        const int64_t col = (int64_t)std::llround(u_h / w_h) - 1;
-        const int64_t row = (int64_t)std::llround(v_h / w_h) - 1;
+        // devkit convention: -1 so pixel centers start at 0.
+        // rint (round-half-even under the default FP mode) matches the
+        // numpy fallback's np.round exactly, including ties at .5.
+        const int64_t col = (int64_t)std::rint(u_h / w_h) - 1;
+        const int64_t row = (int64_t)std::rint(v_h / w_h) - 1;
         if (col < 0 || row < 0 || col >= width || row >= height) continue;
 
         float* cell = out + row * width + col;

@@ -91,6 +91,14 @@ def predict_disps(opt: Options):
 def evaluate(opt: Options):
     if opt.ext_disp_to_eval is not None:
         pred_disps = np.load(opt.ext_disp_to_eval)
+        if opt.eval_eigen_to_benchmark:
+            # remap externally-loaded eigen-split predictions onto the
+            # benchmark split order (reference evaluate_depth.py:143-147)
+            from ssde_tpu.data.splits import DEFAULT_SPLITS_DIR
+
+            ids = np.load(os.path.join(DEFAULT_SPLITS_DIR, "benchmark",
+                                       "eigen_to_benchmark_ids.npy"))
+            pred_disps = pred_disps[ids]
     else:
         assert opt.eval_mono != opt.eval_stereo, (
             "Please choose mono or stereo evaluation by setting either "
@@ -114,10 +122,16 @@ def evaluate(opt: Options):
         print(f"-> Saving out benchmark predictions to {save_dir}")
         from PIL import Image
 
+        # KITTI benchmark submission format (reference evaluate_depth.py:
+        # 163-171): resize disparity to 1216x352, depth = 5.4/disp clipped
+        # to [0, 80] m, stored as uint16 png at 1/256 m resolution.
         for idx in range(len(pred_disps)):
-            disp_resized = pred_disps[idx]
-            depth = 32779 / (disp_resized * 10)
-            depth = np.clip(depth, 0, 65535).astype(np.uint16)
+            disp = Image.fromarray(pred_disps[idx].astype(np.float32), "F")
+            disp_resized = np.asarray(
+                disp.resize((1216, 352), Image.BILINEAR), np.float32)
+            depth = STEREO_SCALE_FACTOR / disp_resized
+            depth = np.clip(depth, 0, 80)
+            depth = np.uint16(depth * 256)
             Image.fromarray(depth).save(os.path.join(save_dir, f"{idx:010d}.png"))
         print("-> No ground truth is available for the KITTI benchmark; done.")
         return None

@@ -348,9 +348,20 @@ def convert_fusion_v2(sd: Dict[str, np.ndarray]):
     """Reference fusion_v2.Fusion / Fusion_v3 .pth -> flax params.
 
     Blocks ``fusion_block_{n}`` with residual units, conv_init/conv_1 and
-    UpscalePS convs."""
+    UpscalePS convs. A bare FeatureFusionBlock state dict (the scale-loop
+    trainer saves its single block as fusion.pth, reference trainer.py:78)
+    has no ``fusion_block_`` prefix — converted at the tree root."""
     params: dict = {}
     blocks = sorted({k.split(".")[0] for k in sd if k.startswith("fusion_block")})
+    if not blocks and any(k.startswith("resConfUnit") for k in sd):
+        out: dict = {}
+        for rcu in ("resConfUnit1", "resConfUnit2", "resConfUnit3"):
+            if any(k.startswith(f"{rcu}.") for k in sd):
+                _convert_rcu(sd, rcu, out, rcu)
+        if "conv3x3.conv.weight" in sd:
+            _set(out, "conv3x3/conv/kernel", _conv_kernel(sd["conv3x3.conv.weight"]))
+            _set(out, "conv3x3/conv/bias", sd["conv3x3.conv.bias"])
+        return out
     for bp in blocks:
         for rcu in ("resConfUnit1", "resConfUnit2", "resConfUnit3"):
             if any(k.startswith(f"{bp}.{rcu}.") for k in sd):

@@ -111,6 +111,10 @@ class Options:
     num_devices: int = 0
     # use fused Pallas kernels for the photometric loss path
     use_pallas: bool = False
+    # bilinear warp backend: "auto" | "family" (fused Pallas, whole scale
+    # family per source) | "pallas" (per-pair kernel) | "mxu" (one-hot
+    # einsum) | "gather" (XLA gather, f32-exact)
+    warp_backend: str = "auto"
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False
     # capture a jax.profiler trace of N training steps into <log_dir>/profile

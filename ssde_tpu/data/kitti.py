@@ -131,10 +131,21 @@ class KITTIDataset:
 
         inputs = {}
         inputs["color/0"] = self.get_color(folder, frame_index, side, do_flip)
+        if inputs["color/0"] is None:
+            raise FileNotFoundError(
+                f"Missing centre frame for split entry {index}: "
+                f"{self.get_image_path(folder, frame_index, side)}"
+            )
         for i in self.frame_idxs:
             if i == "s":
                 other = {"r": "l", "l": "r"}[side]
-                inputs[f"color/{i}"] = self.get_color(folder, frame_index, other, do_flip)
+                stereo = self.get_color(folder, frame_index, other, do_flip)
+                if stereo is None:
+                    raise FileNotFoundError(
+                        f"Missing stereo pair for split entry {index}: "
+                        f"{self.get_image_path(folder, frame_index, other)}"
+                    )
+                inputs[f"color/{i}"] = stereo
             elif i != 0:
                 color = self.get_color(folder, frame_index + i, side, do_flip)
                 inputs[f"color/{i}"] = (

@@ -38,13 +38,23 @@ class Loader:
         num_workers: int = 4,
         prefetch: int = 2,
         seed: int = 0,
+        use_processes: bool = False,
     ):
+        """``use_processes``: decode in worker processes instead of threads.
+
+        PIL holds the GIL for part of each JPEG decode, so thread pools
+        saturate below core count at high feed rates; process workers match
+        the reference's 12-process DataLoader (trainer.py:155-157). Measure
+        with scripts/bench_loader.py before switching — processes pay a
+        per-batch pickling cost.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self._rng = random.Random(seed)
 
     def __len__(self):
@@ -62,14 +72,26 @@ class Loader:
         for i in range(0, stop, bs):
             yield idx[i : i + bs]
 
+    def _make_pool(self):
+        if self.use_processes:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            return ProcessPoolExecutor(
+                self.num_workers, mp_context=mp.get_context("fork"),
+                initializer=_init_worker, initargs=(self.dataset,),
+            )
+        return ThreadPoolExecutor(self.num_workers)
+
     def __iter__(self) -> Iterator[dict]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        fetch = _worker_getitem if self.use_processes else self.dataset.__getitem__
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with self._make_pool() as pool:
                 for batch_idx in self._index_batches():
-                    items = list(pool.map(self.dataset.__getitem__, batch_idx))
+                    items = list(pool.map(fetch, batch_idx))
                     q.put(collate(items))
             q.put(sentinel)
 
@@ -80,3 +102,17 @@ class Loader:
             if item is sentinel:
                 break
             yield item
+
+
+# --- process-pool worker state (fork: dataset inherited, initializer keeps a
+# module-global so per-item pickling ships only the integer index) ---
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _worker_getitem(index):
+    return _WORKER_DATASET[index]

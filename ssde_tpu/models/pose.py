@@ -25,15 +25,11 @@ class PoseDecoder(nn.Module):
     def __call__(self, input_features: Sequence[Sequence[jnp.ndarray]]):
         """input_features: list (per image) of encoder feature lists."""
         last_features = [f[-1] for f in input_features]
+        # ONE shared squeeze conv applied to every input feature (the
+        # reference registers a single convs["squeeze"], pose_decoder.py:26,44)
+        squeeze = nn.Conv(256, (1, 1), dtype=self.dtype, name="squeeze")
         cat = jnp.concatenate(
-            [
-                nn.relu(
-                    nn.Conv(256, (1, 1), dtype=self.dtype, name=f"squeeze_{i}"
-                            if self.num_input_features > 1 else "squeeze")(f)
-                )
-                for i, f in enumerate(last_features)
-            ],
-            axis=-1,
+            [nn.relu(squeeze(f)) for f in last_features], axis=-1
         )
         out = cat
         for i in range(3):

@@ -10,8 +10,8 @@ Functional re-design of the reference's loss stack:
   * 7 depth error metrics (layers.py:251-269)
 
 Everything is expressed as jnp so XLA fuses the elementwise chain into the
-surrounding convolutions; a fused Pallas kernel for the SSIM+L1+min path is
-in ``ssde_tpu.ops.pallas.photometric``.
+surrounding convolutions (the warp itself has fused Pallas kernels in
+``ssde_tpu.ops.pallas``).
 """
 
 from __future__ import annotations

@@ -54,10 +54,16 @@ class TrainState(struct.PyTreeNode):
 
 def make_lr_schedule(learning_rate: float, scheduler_step_size: int,
                      steps_per_epoch: int, gamma: float = 0.1):
-    """StepLR: lr * gamma^(epoch // step_size) as an optax schedule."""
+    """StepLR: lr * gamma^(epoch // step_size) as an optax schedule.
+
+    Decays at EVERY multiple of step_size epochs (15, 30, 45, ...), matching
+    torch.optim.lr_scheduler.StepLR (reference trainer.py:128-129), not just
+    the first boundary.
+    """
     boundary = scheduler_step_size * max(1, steps_per_epoch)
-    return optax.piecewise_constant_schedule(
-        learning_rate, {boundary: gamma}
+    return optax.exponential_decay(
+        learning_rate, transition_steps=boundary, decay_rate=gamma,
+        staircase=True,
     )
 
 

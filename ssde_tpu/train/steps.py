@@ -283,24 +283,47 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
             src = inputs[f"color/{f}/{source_scale}"].astype(jnp.float32)
             pairs.append((scale, f, src, pix))
 
-    # warp backend: bf16 training prefers the fused Pallas kernel on real
-    # TPUs (fastest), then the XLA MXU one-hot formulation; f32 paths keep
-    # the exact gather. Warps run per (scale, source) pair — concatenating
-    # all pairs into one call was measured SLOWER (155 ms vs 97 ms for 8
-    # pairs at B=16): the warp is bound by one-hot/intermediate HBM
-    # traffic, which batching only inflates.
-    if opts.compute_dtype == "bfloat16":
-        from ..ops.pallas import grid_sample_pallas, pallas_warp_available
+    # warp backend selection (see Options.warp_backend). The default TPU
+    # training path is the family lane-gather kernel: one pallas_call per
+    # source image covering all 4 scales' coordinate fields, with the
+    # source resident in VMEM across the whole family.
+    backend = _select_warp_backend(opts)
+    if backend == "family" and not opts.v1_multiscale:
+        from ..ops.pallas.warp_gather import grid_sample_family
 
-        if opts.use_pallas and pallas_warp_available():
-            sampler = grid_sample_pallas
-        else:
-            sampler = grid_sample_mxu
+        by_src = {}
+        for scale, f, src, pix in pairs:
+            by_src.setdefault(f, (src, []))[1].append((scale, pix))
+        for f, (src, items) in by_src.items():
+            grids = jnp.stack([pix for _, pix in items], axis=1)
+            outs = grid_sample_family(src, grids)
+            for i, (scale, _) in enumerate(items):
+                outputs[f"color/{f}/{scale}"] = outs[:, i]
+        return outputs
+
+    if backend == "pallas":
+        from ..ops.pallas import grid_sample_pallas as sampler
+    elif backend == "mxu" or (backend == "family" and opts.v1_multiscale):
+        sampler = grid_sample_mxu
     else:
         sampler = grid_sample
     for scale, f, src, pix in pairs:
         outputs[f"color/{f}/{scale}"] = sampler(src, pix)
     return outputs
+
+
+def _select_warp_backend(opts: Options) -> str:
+    import os
+
+    backend = os.environ.get("SSDE_WARP_BACKEND", opts.warp_backend)
+    if backend != "auto":
+        return backend
+    if opts.compute_dtype == "bfloat16":
+        # "family" (lane-gather kernel) is opt-in: Mosaic's take_along_axis
+        # currently requires the gather dimension to fit one vreg
+        # (<=128 lanes), so it cannot serve W=640 KITTI yet.
+        return "mxu"
+    return "gather"
 
 
 def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):

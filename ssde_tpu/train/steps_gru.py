@@ -107,6 +107,11 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
     version = opts.gru_version
     gru_params = {"params": params["gru"]}
     h0 = models.gru.apply(gru_params, B, method=ConvGRUBlocks.initial_state)
+    if opts.compute_dtype == "bfloat16":
+        # carry the hidden state in bf16: halves the scan carry's HBM
+        # traffic at full resolution and keeps cell convs on the MXU's
+        # native dtype. h0 params stay f32 (optimizer side).
+        h0 = jax.tree.map(lambda t: t.astype(jnp.bfloat16), h0)
 
     if version == "v5":
         feats_t = [_to_time_major(f, B, T) for f in dec_or_feats]

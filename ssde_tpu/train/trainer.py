@@ -90,6 +90,9 @@ class TrainerBase:
     def _frame_idxs(self):
         return list(self.opt.frame_ids)
 
+    def _train_files(self):
+        return readlines(split_file(self.opt.split, "train"))
+
     def _build_data(self):
         opt = self.opt
         if opt.synthetic_data:
@@ -106,7 +109,7 @@ class TrainerBase:
                 opt.dataset if opt.dataset in ("kitti", "kitti_odom") else "kitti"
             ]
             img_ext = ".png" if opt.png else ".jpg"
-            train_files = readlines(split_file(opt.split, "train"))
+            train_files = self._train_files()
             val_files = readlines(split_file(opt.split, "val"))
             self.train_dataset = ds_cls(
                 opt.data_path, train_files, opt.height, opt.width,
@@ -368,6 +371,14 @@ class FusionV3Trainer(_FusionTrainerBase):
     (trainer_fusion_v3.py:259-261) — a debug snapshot; we optimize."""
 
     fusion_variant = "v3"
+
+    def _train_files(self):
+        # the reference trains v3 from train_files_seq.txt — frames whose
+        # +-2 neighbors all exist (trainer_fusion_v3.py:168); fall back to
+        # the plain list when the seq list is not vendored.
+        path = split_file(self.opt.split, "train")
+        seq = path.replace("train_files.txt", "train_files_seq.txt")
+        return readlines(seq if os.path.exists(seq) else path)
 
 
 class FusionScaleLoopTrainer(_FusionTrainerBase):

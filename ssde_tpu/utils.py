@@ -2,7 +2,32 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    XLA:CPU compiles of the full train step are minutes-long on weak hosts;
+    warm cache hits load in seconds. Used by tests/conftest.py, bench.py
+    and the driver graft entry. Safe to call multiple times / before any
+    computation.
+    """
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_cache",
+        )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # older jax without these flags: cache is best-effort
+        pass
 
 
 def readlines(filename):

@@ -24,6 +24,15 @@ jax.config.update("jax_platforms", "cpu")
 # DEFAULT matmul precision may run f32 matmuls/convs through bf16 passes.
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compile cache: XLA:CPU compiles of jitted train steps take
+# minutes on this 1-core host; warm cache hits load in seconds.
+import sys as _sys
+
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from ssde_tpu.utils import enable_compile_cache
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 

@@ -253,3 +253,36 @@ def test_grid_sample_pallas_grad_interpret(rng):
         lambda g: jnp.sum(grid_sample_pallas(img, g, False, 8, True) ** 2)
     )(grid)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0.01, atol=0.05)
+
+
+def test_grid_sample_family_interpret(rng):
+    """Family lane-gather kernel (interpret mode) matches the gather warp
+    for every scale field."""
+    from ssde_tpu.ops.pallas.warp_gather import grid_sample_family
+
+    img = rng.rand(2, 16, 128, 3).astype(np.float32)
+    grids = (rng.rand(2, 3, 16, 128, 2).astype(np.float32) * 2.2 - 1.1)
+    outs = np.asarray(grid_sample_family(jnp.asarray(img), jnp.asarray(grids),
+                                         False, 8, True))
+    for s in range(3):
+        ref = np.asarray(grid_sample(jnp.asarray(img),
+                                     jnp.asarray(grids[:, s])))
+        np.testing.assert_allclose(outs[:, s], ref, atol=2e-2)
+
+
+def test_grid_sample_family_grad_interpret(rng):
+    from ssde_tpu.ops.pallas.warp_gather import grid_sample_family
+    from ssde_tpu.ops.warp import grid_sample_mxu
+
+    img = jnp.asarray(rng.rand(1, 16, 128, 1).astype(np.float32))
+    grids = jnp.asarray(rng.rand(1, 2, 16, 128, 2).astype(np.float32) * 1.2 - 0.6)
+    g1 = jax.grad(
+        lambda g: jnp.sum(grid_sample_family(img, g, False, 8, True) ** 2)
+    )(grids)
+    g2 = jnp.stack(
+        [jax.grad(lambda g: jnp.sum(grid_sample_mxu(img, g) ** 2))(grids[:, s])
+         for s in range(2)],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0.01,
+                               atol=0.05)
