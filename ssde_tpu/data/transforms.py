@@ -121,21 +121,36 @@ def preprocess_batch(
     num_scales: int,
     frame_idxs: Sequence,
     is_train: bool = True,
+    *,
+    pyramid_frames: Sequence = None,
+    aug_num_scales: int = None,
 ):
     """Stacked host batch -> the reference's full key contract.
 
     Input keys: f"color/{i}" (B, H, W, 3), "K" (B, 4, 4), "jitter" (B, 4).
     Output keys: f"color/{i}/{s}", f"color_aug/{i}/{s}", f"K/{s}",
     f"inv_K/{s}" (+ passthrough of "depth_gt"/"stereo_T").
+
+    ``pyramid_frames`` / ``aug_num_scales`` trim unused work inside the
+    train step: the (default) non-v1_multiscale loss consumes only the
+    frame-0 color pyramid, scale-0 colors of the source frames, and
+    scale-0 color_aug — building all 24 full pyramids the reference's
+    host loader materializes (mono_dataset.py:116-139) costs real step
+    time on device. Defaults build everything (eval/logging parity).
     """
     inputs = {}
     jitter = batch.get("jitter")
+    if pyramid_frames is None:
+        pyramid_frames = list(frame_idxs)
+    if aug_num_scales is None:
+        aug_num_scales = num_scales
     for i in frame_idxs:
         img = batch[f"color/{i}"]
-        for s, scaled in enumerate(build_pyramid(img, num_scales)):
+        n_s = num_scales if i in pyramid_frames else 1
+        for s, scaled in enumerate(build_pyramid(img, n_s)):
             inputs[f"color/{i}/{s}"] = scaled
         aug = color_jitter(img, jitter) if (is_train and jitter is not None) else img
-        for s, scaled in enumerate(build_pyramid(aug, num_scales)):
+        for s, scaled in enumerate(build_pyramid(aug, aug_num_scales)):
             inputs[f"color_aug/{i}/{s}"] = scaled
     inputs.update(scale_intrinsics(batch["K"], height, width, num_scales))
     for k in ("depth_gt", "stereo_T"):

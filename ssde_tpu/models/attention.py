@@ -165,12 +165,16 @@ class ResidualAttentionUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
+        # the reference's nn.ReLU(inplace=True) mutates its input, so the
+        # residual connection actually adds relu(x), NOT x
+        # (fusion_v2.py:127-137, rnn.py:650-662) — reproduced deliberately
+        # for checkpoint parity (verified in tests/test_torch_parity.py)
+        r = nn.relu(x)
         out = AttentionConv(self.features, 3, use_bias=True,
                             shared_rel=self.shared_rel,
-                            dtype=self.dtype, name="atten1")(out)
+                            dtype=self.dtype, name="atten1")(r)
         out = nn.relu(out)
         out = AttentionConv(self.features, 3, use_bias=True,
                             shared_rel=self.shared_rel,
                             dtype=self.dtype, name="atten2")(out)
-        return out + x
+        return out + r

@@ -53,12 +53,14 @@ class ResidualConvUnit(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        out = nn.relu(x)
+        # inplace-relu aliasing in the reference: the residual adds relu(x),
+        # not x (fusion_v2.py:29-43) — kept for checkpoint parity
+        r = nn.relu(x)
         out = nn.Conv(
             self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(out)
+        )(r)
         out = nn.relu(out)
         out = nn.Conv(
             self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2"
         )(out)
-        return out + x
+        return out + r

@@ -233,6 +233,8 @@ class GRUFusionBlock_v2(nn.Module):
             )
         )
         if self.up:
+            # resConfUnit2's inplace relu has mutated `pre` by the time the
+            # reference calls upscale (rnn.py:766-773): up sees relu(pre)
             return out, UpscalePS(use_conv=False, scale=2, dtype=self.dtype,
-                                  name="upscale")(pre)
+                                  name="upscale")(nn.relu(pre))
         return out

@@ -1,0 +1,274 @@
+"""Banded lane-gather Pallas warp: the training fast path.
+
+Mosaic's in-kernel ``take_along_axis`` requires the gather dimension to
+fit one vreg (128 lanes), so a W=640 source row cannot be gathered
+directly. This kernel exploits the structure of reprojection warps
+instead: within one output row, the source y's span a few rows and each
+128-column output tile's source x's span ~a tile. Per program it
+
+  * slices a VBAND-row source band at the row-chunk's min y0
+    (dynamic sublane slice),
+  * per output column tile, slices TWO 128-column windows (at the tile's
+    min x0 and max x0 - 126; together they cover any x-span <= 254) and
+    lane-gathers the horizontal taps from whichever window holds each
+    pixel,
+  * applies the vertical 2-tap lerp as a masked reduction over the band,
+  * emits the warped value plus the two directional-derivative residuals
+    (d out/d wx, d out/d wy) for the O(output) custom-VJP backward.
+
+The wrapper checks the band assumptions on the actual coordinates (a
+cheap XLA reduction) and falls back to the exact one-hot MXU formulation
+(ops/warp.grid_sample_mxu) via lax.cond when any row violates them, so
+semantics are exactly torch ``grid_sample(mode='bilinear',
+padding_mode='border', align_corners=False)`` for ANY input — wild test
+grids included. Reference op: trainer.py:508-511.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except ImportError:  # pragma: no cover
+    _PALLAS_OK = False
+
+VBAND = 40      # source rows per band (min y0 aligned down to 8 sublanes)
+TW = 128        # output columns per tile (one vreg)
+# horizontal taps come from the 3 STATIC neighbor column-tiles (t-1, t,
+# t+1) with membership masks: valid iff x0 - t*TW is in [-TW, 2*TW - 2]
+YSPAN = VBAND - 9   # per-row y-span budget (band minus 8-alignment slack)
+
+
+def _banded_kernel(C: int, H: int, W: int, chunk: int,
+                   fx_ref, fy_ref, img_ref, out_ref, rdx_ref, rdy_ref):
+    Wo = fx_ref.shape[-1]
+    n_tiles = Wo // TW
+
+    fx = fx_ref[0]                                     # (chunk, Wo) f32
+    fy = fy_ref[0]
+    x0f = jnp.clip(jnp.floor(fx), 0.0, float(max(W - 2, 0)))
+    y0f = jnp.clip(jnp.floor(fy), 0.0, float(max(H - 2, 0)))
+    wx = fx - x0f
+    wy = fy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    for k in range(chunk):
+        yk = y0[k:k + 1, :]                            # (1, Wo)
+        # dynamic sublane offsets must be multiples of 8 (Mosaic)
+        ymin = (jnp.minimum(jnp.min(yk), H - VBAND) // 8) * 8
+        ys = yk - ymin                                 # in [0, VBAND-2]
+        iota_v = lax.broadcasted_iota(jnp.int32, (VBAND, TW), 0)
+
+        for t in range(n_tiles):
+            sl = slice(t * TW, (t + 1) * TW)
+            xt = x0[k:k + 1, sl]                       # (1, TW)
+            wxt = wx[k:k + 1, sl]
+            wyt = wy[k:k + 1, sl]
+            yst = ys[0:1, sl]
+
+            m0 = (iota_v == yst).astype(jnp.float32)   # (VBAND, TW)
+            m1 = (iota_v == yst + 1).astype(jnp.float32)
+            vyw = m0 * (1.0 - wyt) + m1 * wyt
+            vyd = m1 - m0
+
+            windows = [w for w in (t - 1, t, t + 1) if 0 <= w < n_tiles]
+            # Mosaic's gather wants idx.shape == source.shape: one gather
+            # per (window, tap), source kept bf16
+            masks = []
+            for w in windows:
+                rel = xt - w * TW                      # (1, TW)
+                per_tap = []
+                for tap in (0, 1):
+                    r = rel + tap
+                    per_tap.append((
+                        jnp.broadcast_to((r >= 0) & (r <= TW - 1),
+                                         (VBAND, TW)),
+                        jnp.broadcast_to(jnp.clip(r, 0, TW - 1),
+                                         (VBAND, TW)),
+                    ))
+                masks.append(per_tap)
+            for c in range(C):
+                # gather requires 32-bit data (idx/result bitwidth match)
+                a0 = jnp.zeros((VBAND, TW), jnp.float32)
+                a1 = jnp.zeros((VBAND, TW), jnp.float32)
+                for w, per_tap in zip(windows, masks):
+                    win = img_ref[0, c, pl.ds(ymin, VBAND),
+                                  w * TW:(w + 1) * TW].astype(jnp.float32)
+                    (ok0, idx0), (ok1, idx1) = per_tap
+                    a0 = jnp.where(ok0, jnp.take_along_axis(win, idx0, axis=1), a0)
+                    a1 = jnp.where(ok1, jnp.take_along_axis(win, idx1, axis=1), a1)
+                ad = a1 - a0
+                aw = a0 + wxt * ad
+                out_ref[0, c, k:k + 1, sl] = jnp.sum(vyw * aw, axis=0,
+                                                     keepdims=True)
+                rdx_ref[0, c, k:k + 1, sl] = jnp.sum(vyw * ad, axis=0,
+                                                     keepdims=True)
+                rdy_ref[0, c, k:k + 1, sl] = jnp.sum(vyd * aw, axis=0,
+                                                     keepdims=True)
+
+
+def _unnormalize_clamped(grid, H, W, align_corners):
+    gx = grid[..., 0].astype(jnp.float32)
+    gy = grid[..., 1].astype(jnp.float32)
+    if align_corners:
+        fx = (gx + 1.0) * 0.5 * (W - 1)
+        fy = (gy + 1.0) * 0.5 * (H - 1)
+    else:
+        fx = ((gx + 1.0) * W - 1.0) * 0.5
+        fy = ((gy + 1.0) * H - 1.0) * 0.5
+    return jnp.clip(fx, 0.0, W - 1), jnp.clip(fy, 0.0, H - 1)
+
+
+def _taps_banded_pallas(img, fx, fy, S, chunk, interpret):
+    """Kernel invocation. fx/fy (B*S, Ho, Wo); img (B, H, W, C).
+
+    Returns (out, rdx, rdy) each (B*S, C, Ho, Wo) f32.
+    """
+    B, H, W, C = img.shape
+    G, Ho, Wo = fx.shape
+    imgp = img.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+
+    grid = (G, Ho // chunk)
+    coord_spec = pl.BlockSpec((1, chunk, Wo), lambda g, r: (g, r, 0))
+    img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g // S, 0, 0, 0))
+    out_spec = pl.BlockSpec((1, C, chunk, Wo), lambda g, r: (g, 0, r, 0))
+    out_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.float32)
+
+    kernel = functools.partial(_banded_kernel, C, H, W, chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[coord_spec, coord_spec, img_spec],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(fx, fy, imgp)
+
+
+def _taps_mxu_reference(img, grids, align_corners):
+    """Exact fallback: one-hot MXU taps per scale, same outputs/layout."""
+    from ..warp import _mxu_coords, _mxu_taps
+
+    B, H, W, C = img.shape
+    _, S, Ho, Wo, _ = grids.shape
+    outs, rdxs, rdys = [], [], []
+    for s in range(S):
+        x0, y0, wx, wy, _, _ = _mxu_coords(img.shape, grids[:, s],
+                                           align_corners)
+        t00, t01, t10, t11 = _mxu_taps(img, x0, y0, chunk=1, band=H)
+        wxe = wx[..., None]
+        wye = wy[..., None]
+        out = (t00 * (1 - wxe) + t01 * wxe) * (1 - wye) + (
+            t10 * (1 - wxe) + t11 * wxe) * wye
+        rdx = (1 - wye) * (t01 - t00) + wye * (t11 - t10)
+        rdy = (1 - wxe) * (t10 - t00) + wxe * (t11 - t01)
+        outs.append(out)
+        rdxs.append(rdx)
+        rdys.append(rdy)
+
+    def pack(ts):  # S x (B, Ho, Wo, C) -> (B*S, C, Ho, Wo)
+        t = jnp.stack(ts, axis=1)
+        return t.transpose(0, 1, 4, 2, 3).reshape(B * S, C, Ho, Wo)
+
+    return pack(outs), pack(rdxs), pack(rdys)
+
+
+def _fits_banded(img_shape, grids, align_corners, chunk):
+    """Scalar bool: every row/tile satisfies the band assumptions."""
+    _, H, W, _ = img_shape
+    fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
+    B, S, Ho, Wo = fy.shape
+    y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
+    x0 = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
+    # per-row y span (kernel bands per row, min aligned down by up to 7)
+    fit_y = (jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)) <= YSPAN
+    # x0 must live in the 3 neighbor tiles: x0 - t*TW in [-TW, 2*TW - 2]
+    n_tiles = Wo // TW
+    offs = (jnp.arange(n_tiles) * TW)[None, None, None, :, None]
+    rel = x0.reshape(B, S, Ho, n_tiles, TW) - offs
+    fit_x = jnp.all((rel >= -TW) & (rel <= 2 * TW - 2))
+    return jnp.all(fit_y) & fit_x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def grid_sample_banded(img, grids, align_corners: bool = False,
+                       chunk: int = 8, interpret: bool = False):
+    """Warp one source with S coordinate fields; banded Pallas fast path.
+
+    img (B, H, W, C); grids (B, S, Ho, Wo, 2) in [-1, 1].
+    Returns (B, S, Ho, Wo, C) f32. No gradient flows into ``img``
+    (raw data in this framework's loss graph, like the reference's).
+    """
+    out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret)
+    return out
+
+
+def _gsb_fwd(img, grids, align_corners, chunk, interpret):
+    B, H, W, C = img.shape
+    _, S, Ho, Wo, _ = grids.shape
+    if chunk % 8 or Ho % chunk:
+        chunk = Ho if Ho % 8 else 8
+
+    if not _PALLAS_OK or H < VBAND or W < TW or Wo % TW:
+        # geometry the banded kernel cannot serve: exact MXU path only
+        out_p, rdx_p, rdy_p = _taps_mxu_reference(img, grids, align_corners)
+    else:
+        fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
+
+        def fast(_):
+            return _taps_banded_pallas(
+                img, fx.reshape(B * S, Ho, Wo), fy.reshape(B * S, Ho, Wo),
+                S, chunk, interpret)
+
+        def slow(_):
+            return _taps_mxu_reference(img, grids, align_corners)
+
+        fits = _fits_banded(img.shape, grids, align_corners, chunk)
+        out_p, rdx_p, rdy_p = lax.cond(fits, fast, slow, None)
+
+    def to_nhwc(t):  # (B*S, C, Ho, Wo) -> (B, S, Ho, Wo, C)
+        return t.reshape(B, S, C, Ho, Wo).transpose(0, 1, 3, 4, 2)
+
+    out = to_nhwc(out_p)
+    res = (to_nhwc(rdx_p), to_nhwc(rdy_p), grids,
+           jax.ShapeDtypeStruct(img.shape, img.dtype))
+    return out, res
+
+
+def _grad_masks(grids, H, W, align_corners):
+    gx = grids[..., 0].astype(jnp.float32)
+    gy = grids[..., 1].astype(jnp.float32)
+    if align_corners:
+        rx = (gx + 1.0) * 0.5 * (W - 1)
+        ry = (gy + 1.0) * 0.5 * (H - 1)
+        sx, sy = (W - 1) * 0.5, (H - 1) * 0.5
+    else:
+        rx = ((gx + 1.0) * W - 1.0) * 0.5
+        ry = ((gy + 1.0) * H - 1.0) * 0.5
+        sx, sy = W * 0.5, H * 0.5
+    in_x = ((rx > 0) & (rx < W - 1)).astype(jnp.float32) * sx
+    in_y = ((ry > 0) & (ry < H - 1)).astype(jnp.float32) * sy
+    return in_x, in_y
+
+
+def _gsb_bwd(align_corners, chunk, interpret, res, dout):
+    rdx, rdy, grids, img_spec = res
+    _, H, W, _ = img_spec.shape
+    dout = dout.astype(jnp.float32)
+    in_x, in_y = _grad_masks(grids, H, W, align_corners)
+    dwx = jnp.sum(dout * rdx, axis=-1)
+    dwy = jnp.sum(dout * rdy, axis=-1)
+    dgrids = jnp.stack([dwx * in_x, dwy * in_y], axis=-1)
+    return jnp.zeros(img_spec.shape, img_spec.dtype), dgrids
+
+
+grid_sample_banded.defvjp(_gsb_fwd, _gsb_bwd)

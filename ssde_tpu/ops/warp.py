@@ -122,49 +122,109 @@ def grid_sample_4tap(img, grid, align_corners: bool = False):
     return out.astype(img.dtype)
 
 
-def _mxu_taps(img, x0, y0, chunk: int):
+def _mxu_taps(img, x0, y0, chunk: int, band: int = None):
     """Corner tap values t00, t01, t10, t11, each (B, Ho, Wo, C).
 
     t_ab = img[y0+a, x0+b] computed as pure (exact-in-bf16) one-hot
     matmuls over a row-chunk scan: horizontal taps via an MXU contraction
     over source columns, vertical taps via masked reductions over source
     rows. The one-hots never hit HBM thanks to per-chunk remat.
+
+    Vertical banding: the horizontal contraction's free dimension is the
+    source-row axis, so its MXU cost is O(Wo * W * rows). For one output
+    row the needed source rows span max(y0)-min(y0)+2 — a handful of rows
+    for any sane reprojection — so each scan step slices a ``band``-row
+    window at the chunk's min y0 and contracts over that (H/band x less
+    MXU work). Rows whose span exceeds the band take an exact full-H
+    fallback via lax.cond. Semantics are bit-identical either way.
     """
+    import os
+
     B, H, W, C = img.shape
     _, Ho, Wo = x0.shape
     imgc = img.astype(jnp.bfloat16)
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, W), 3)
-    iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, H), 3)
 
     if Ho % chunk:
         chunk = 1
+    if band is None:
+        band = int(os.environ.get("SSDE_WARP_BAND", "32"))
+    band = min(band, H)
+    # horizontal tiling: split the output row into TW-column tiles, each
+    # contracting over an XBAND-column source window at its min x0 (same
+    # trick as the vertical band, same exact full-W fallback). Measured
+    # SLOWER than full-row one-hots (per-tile matmuls underfill the MXU's
+    # M dimension and the conds add overhead) — off by default.
+    xband = int(os.environ.get("SSDE_WARP_XBAND", "0"))
+    TW = 128
+    use_xtiles = 0 < xband < W and Wo % TW == 0
 
-    @jax.checkpoint
-    def row_chunk(carry, start):
-        xs = lax.dynamic_slice_in_dim(x0, start, chunk, axis=1)
-        ys = lax.dynamic_slice_in_dim(y0, start, chunk, axis=1)
-        # both horizontal taps in one stacked one-hot (B, chunk, 2*Wo, W)
+    def taps_block(rows, xs, ys_rel):
+        """rows (B, nrows, ncols, C); xs in [0, ncols-2]; ys_rel in
+        [0, nrows-2]; xs/ys_rel (B, chunk, m) -> 4 taps (B, chunk, m, C)."""
+        m = xs.shape[-1]
+        ncols = rows.shape[2]
+        nrows = rows.shape[1]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ncols), 3)
         oh = jnp.concatenate(
             [(iota_w == xs[..., None]), (iota_w == (xs + 1)[..., None])],
             axis=2,
         ).astype(jnp.bfloat16)
-        tmp = jnp.einsum("bkjx,bhxc->bkjhc", oh, imgc,
+        tmp = jnp.einsum("bkjx,bhxc->bkjhc", oh, rows,
                          preferred_element_type=jnp.bfloat16)
-        m0 = (iota_h == ys[..., None]).astype(jnp.bfloat16)
-        m1 = (iota_h == (ys + 1)[..., None]).astype(jnp.bfloat16)
-        mm = jnp.concatenate([m0, m1], axis=2)  # (B, chunk, 2*Wo, H)
-        # vertical masked reductions: rows of tmp selected by y0 / y0+1
+        iota_h = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, nrows), 3)
+        m0 = (iota_h == ys_rel[..., None]).astype(jnp.bfloat16)
+        m1 = (iota_h == (ys_rel + 1)[..., None]).astype(jnp.bfloat16)
+        mm = jnp.concatenate([m0, m1], axis=2)
         sel0 = jnp.einsum("bkjh,bkjhc->bkjc", mm, tmp,
                           preferred_element_type=jnp.float32)
         m_sw = jnp.concatenate([m1, m0], axis=2)
         sel1 = jnp.einsum("bkjh,bkjhc->bkjc", m_sw, tmp,
                           preferred_element_type=jnp.float32)
         # sel0 halves: (y0,x0), (y1,x1); sel1 halves: (y1,x0), (y0,x1)
-        t00 = sel0[:, :, :Wo]
-        t11 = sel0[:, :, Wo:]
-        t10 = sel1[:, :, :Wo]
-        t01 = sel1[:, :, Wo:]
-        return carry, (t00, t01, t10, t11)
+        return (sel0[:, :, :m], sel1[:, :, m:],
+                sel1[:, :, :m], sel0[:, :, m:])
+
+    def row_taps(rows, xs, ys_rel):
+        """One row-chunk over `rows` (vertical window already applied)."""
+        if not use_xtiles:
+            return taps_block(rows, xs, ys_rel)
+        parts = []
+        for t in range(Wo // TW):
+            xs_t = xs[:, :, t * TW:(t + 1) * TW]
+            ys_t = ys_rel[:, :, t * TW:(t + 1) * TW]
+            xmin = jnp.minimum(jnp.min(xs_t), W - xband).astype(jnp.int32)
+            fits = (jnp.max(xs_t) - jnp.min(xs_t)) <= (xband - 2)
+
+            def banded_x(_, xs_t=xs_t, ys_t=ys_t, xmin=xmin):
+                cols = lax.dynamic_slice_in_dim(rows, xmin, xband, axis=2)
+                return taps_block(cols, xs_t - xmin, ys_t)
+
+            def full_x(_, xs_t=xs_t, ys_t=ys_t):
+                return taps_block(rows, xs_t, ys_t)
+
+            parts.append(lax.cond(fits, banded_x, full_x, None))
+        return tuple(
+            jnp.concatenate([p[i] for p in parts], axis=2) for i in range(4)
+        )
+
+    @jax.checkpoint
+    def row_chunk(carry, start):
+        xs = lax.dynamic_slice_in_dim(x0, start, chunk, axis=1)
+        ys = lax.dynamic_slice_in_dim(y0, start, chunk, axis=1)
+        if band >= H:
+            return carry, row_taps(imgc, xs, ys)
+
+        ymin = jnp.minimum(jnp.min(ys), H - band).astype(jnp.int32)
+        fits = (jnp.max(ys) - jnp.min(ys)) <= (band - 2)
+
+        def banded(_):
+            rows = lax.dynamic_slice_in_dim(imgc, ymin, band, axis=1)
+            return row_taps(rows, xs, ys - ymin)
+
+        def full(_):
+            return row_taps(imgc, xs, ys)
+
+        return carry, lax.cond(fits, banded, full, None)
 
     _, taps = lax.scan(row_chunk, 0, jnp.arange(Ho // chunk) * chunk, unroll=4)
     return tuple(
@@ -237,19 +297,23 @@ def _grid_sample_mxu_fwd(img, grid, align_corners, chunk):
     top = t00 * (1 - wxe) + t01 * wxe
     bot = t10 * (1 - wxe) + t11 * wxe
     out = (top * (1 - wye) + bot * wye).astype(img.dtype)
-    residuals = (t00, t01, t10, t11, wx, wy, in_x, in_y,
+    # pre-combine the directional derivatives so the residuals are 2 maps
+    # instead of 4 raw taps — the saved-residual HBM traffic (written in
+    # fwd, read in bwd, at full res per (scale, source)) halves, and the
+    # bwd becomes one dot per direction. Stored bf16: residuals only feed
+    # pose/disp gradients, which tolerate it.
+    rdx = ((1 - wye) * (t01 - t00) + wye * (t11 - t10)).astype(jnp.bfloat16)
+    rdy = ((1 - wxe) * (t10 - t00) + wxe * (t11 - t01)).astype(jnp.bfloat16)
+    residuals = (rdx, rdy, in_x, in_y,
                  jax.ShapeDtypeStruct(img.shape, img.dtype))
     return out, residuals
 
 
 def _grid_sample_mxu_bwd(align_corners, chunk, residuals, dout):
-    t00, t01, t10, t11, wx, wy, in_x, in_y, img_spec = residuals
+    rdx, rdy, in_x, in_y, img_spec = residuals
     dout = dout.astype(jnp.float32)
-    wxe = wx[..., None]
-    wye = wy[..., None]
-    # d out / d wx = (1-wy)(t01 - t00) + wy(t11 - t10)
-    dwx = jnp.sum(dout * ((1 - wye) * (t01 - t00) + wye * (t11 - t10)), axis=-1)
-    dwy = jnp.sum(dout * ((1 - wxe) * (t10 - t00) + wxe * (t11 - t01)), axis=-1)
+    dwx = jnp.sum(dout * rdx.astype(jnp.float32), axis=-1)
+    dwy = jnp.sum(dout * rdy.astype(jnp.float32), axis=-1)
     dgrid = jnp.stack([dwx * in_x, dwy * in_y], axis=-1)
     # no image gradient: the sampled image is raw data (XLA drops the zeros)
     dimg = jnp.zeros(img_spec.shape, img_spec.dtype)

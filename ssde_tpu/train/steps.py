@@ -284,26 +284,30 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
             pairs.append((scale, f, src, pix))
 
     # warp backend selection (see Options.warp_backend). The default TPU
-    # training path is the family lane-gather kernel: one pallas_call per
-    # source image covering all 4 scales' coordinate fields, with the
-    # source resident in VMEM across the whole family.
+    # training path is the vertically-banded one-hot MXU warp, one call per
+    # (scale, source) pair. Folding the scale family into one wider call
+    # was measured SLOWER (51.8 vs 69.8 samples/s end-to-end): the one-hot
+    # then materializes at 4x width per scan row and spills to HBM.
     backend = _select_warp_backend(opts)
-    if backend == "family" and not opts.v1_multiscale:
-        from ..ops.pallas.warp_gather import grid_sample_family
+    if backend in ("family", "banded") and not opts.v1_multiscale:
+        if backend == "banded":
+            from ..ops.pallas.warp_banded import grid_sample_banded as fam
+        else:
+            from ..ops.pallas.warp_gather import grid_sample_family as fam
 
         by_src = {}
         for scale, f, src, pix in pairs:
             by_src.setdefault(f, (src, []))[1].append((scale, pix))
         for f, (src, items) in by_src.items():
             grids = jnp.stack([pix for _, pix in items], axis=1)
-            outs = grid_sample_family(src, grids)
+            outs = fam(src, grids)
             for i, (scale, _) in enumerate(items):
                 outputs[f"color/{f}/{scale}"] = outs[:, i]
         return outputs
 
     if backend == "pallas":
         from ..ops.pallas import grid_sample_pallas as sampler
-    elif backend == "mxu" or (backend == "family" and opts.v1_multiscale):
+    elif backend in ("mxu", "family"):
         sampler = grid_sample_mxu
     else:
         sampler = grid_sample
@@ -519,6 +523,10 @@ def make_mono_train_step(models: MonoModels) -> Callable:
         inputs = preprocess_batch(
             batch, opts.height, opts.width, opts.num_scales,
             [i for i in opts.frame_ids], is_train=True,
+            # the loss consumes only frame-0 pyramids and scale-0
+            # sources/augs on the standard path; skip the rest
+            pyramid_frames=None if opts.v1_multiscale else [0],
+            aug_num_scales=None if opts.v1_multiscale else 1,
         )
         # sources [-1,1] must exist even if frame_ids was overridden
         def loss_fn(params):

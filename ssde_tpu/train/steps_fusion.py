@@ -163,6 +163,8 @@ def make_fusion_train_step(models: FusionModels) -> Callable:
         inputs = preprocess_batch(
             batch, opts.height, opts.width, opts.num_scales,
             [0, -1, -2, 1], is_train=True,
+            pyramid_frames=None if opts.v1_multiscale else [0],
+            aug_num_scales=None if opts.v1_multiscale else 1,
         )
 
         def loss_fn(params):

@@ -85,7 +85,9 @@ def preprocess_gru_batch(batch, opts: Options, is_train: bool = True):
     if "jitter" in batch:
         flat["jitter"] = jnp.repeat(batch["jitter"], T, axis=0)
     inputs = preprocess_batch(flat, opts.height, opts.width, opts.num_scales,
-                              [0, -1, 1], is_train=is_train)
+                              [0, -1, 1], is_train=is_train,
+                              pyramid_frames=None if opts.v1_multiscale else [0],
+                              aug_num_scales=None if opts.v1_multiscale else 1)
     return inputs, B, T
 
 

@@ -19,7 +19,10 @@ from ssde_tpu.train import (
     mono_loss_fn,
 )
 
-H, W = 64, 128
+# smallest legal grid: cuts 1-core-CPU compile/exec time (VERDICT round-1
+# found the old 64x128 configs pushed the suite past CI budget and the
+# 8-device collective rendezvous toward its 40 s kill window)
+H, W = 32, 64
 
 
 def small_opts(**kw):
