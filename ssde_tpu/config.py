@@ -111,9 +111,11 @@ class Options:
     num_devices: int = 0
     # use fused Pallas kernels for the photometric loss path
     use_pallas: bool = False
-    # bilinear warp backend: "auto" | "family" (fused Pallas, whole scale
-    # family per source) | "pallas" (per-pair kernel) | "mxu" (one-hot
-    # einsum) | "gather" (XLA gather, f32-exact)
+    # bilinear warp backend: "auto" | "banded" (banded lane-gather Pallas,
+    # whole scale family per source; TPU training default) | "onehot"
+    # (VMEM one-hot MXU Pallas) | "family" (plain lane-gather, W<=128
+    # only) | "pallas" (per-pair kernel) | "mxu" (XLA one-hot einsum) |
+    # "gather" (XLA gather, f32-exact)
     warp_backend: str = "auto"
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False

@@ -65,7 +65,9 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int,
         yk = y0[k:k + 1, :]                            # (1, Wo)
         # dynamic sublane offsets must be multiples of 8 (Mosaic)
         ymin = (jnp.minimum(jnp.min(yk), H - VBAND) // 8) * 8
-        ys = yk - ymin                                 # in [0, VBAND-2]
+        # rows beyond the band clamp to its edge (bounded error; the
+        # wrapper's violation monitor tracks how often this fires)
+        ys = jnp.clip(yk - ymin, 0, VBAND - 2)
         iota_v = lax.broadcasted_iota(jnp.int32, (VBAND, TW), 0)
 
         for t in range(n_tiles):
@@ -199,41 +201,50 @@ def _fits_banded(img_shape, grids, align_corners, chunk):
     return jnp.all(fit_y) & fit_x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def grid_sample_banded(img, grids, align_corners: bool = False,
-                       chunk: int = 8, interpret: bool = False):
+                       chunk: int = 8, interpret: bool = False,
+                       strict: bool = False):
     """Warp one source with S coordinate fields; banded Pallas fast path.
 
     img (B, H, W, C); grids (B, S, Ho, Wo, 2) in [-1, 1].
     Returns (B, S, Ho, Wo, C) f32. No gradient flows into ``img``
     (raw data in this framework's loss graph, like the reference's).
+
+    ``strict=True`` uses the exact (unbanded) MXU formulation — use it
+    when coordinates may violate the band budgets (see module docstring).
+    A runtime lax.cond fallback is deliberately NOT used: XLA lowers the
+    conditional so that both branches execute (measured 231 -> 140 ms per
+    train step after removing it). Violating rows clamp to the band edge;
+    monitor with :func:`band_violation_fraction`.
     """
-    out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret)
+    out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret, strict)
     return out
 
 
-def _gsb_fwd(img, grids, align_corners, chunk, interpret):
+def band_violation_fraction(img_shape, grids, align_corners: bool = False):
+    """Fraction of output rows whose y-span exceeds the band budget."""
+    _, H, W, _ = img_shape
+    _, fy = _unnormalize_clamped(grids, H, W, align_corners)
+    y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
+    span = jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)
+    return jnp.mean((span > YSPAN).astype(jnp.float32))
+
+
+def _gsb_fwd(img, grids, align_corners, chunk, interpret, strict=False):
     B, H, W, C = img.shape
     _, S, Ho, Wo, _ = grids.shape
     if chunk % 8 or Ho % chunk:
         chunk = Ho if Ho % 8 else 8
 
-    if not _PALLAS_OK or H < VBAND or W < TW or Wo % TW:
-        # geometry the banded kernel cannot serve: exact MXU path only
+    if strict or not _PALLAS_OK or H < VBAND or W < TW or Wo % TW:
+        # exact MXU path (strict callers / geometry the kernel can't serve)
         out_p, rdx_p, rdy_p = _taps_mxu_reference(img, grids, align_corners)
     else:
         fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
-
-        def fast(_):
-            return _taps_banded_pallas(
-                img, fx.reshape(B * S, Ho, Wo), fy.reshape(B * S, Ho, Wo),
-                S, chunk, interpret)
-
-        def slow(_):
-            return _taps_mxu_reference(img, grids, align_corners)
-
-        fits = _fits_banded(img.shape, grids, align_corners, chunk)
-        out_p, rdx_p, rdy_p = lax.cond(fits, fast, slow, None)
+        out_p, rdx_p, rdy_p = _taps_banded_pallas(
+            img, fx.reshape(B * S, Ho, Wo), fy.reshape(B * S, Ho, Wo),
+            S, chunk, interpret)
 
     def to_nhwc(t):  # (B*S, C, Ho, Wo) -> (B, S, Ho, Wo, C)
         return t.reshape(B, S, C, Ho, Wo).transpose(0, 1, 3, 4, 2)
@@ -260,7 +271,7 @@ def _grad_masks(grids, H, W, align_corners):
     return in_x, in_y
 
 
-def _gsb_bwd(align_corners, chunk, interpret, res, dout):
+def _gsb_bwd(align_corners, chunk, interpret, strict, res, dout):
     rdx, rdy, grids, img_spec = res
     _, H, W, _ = img_spec.shape
     dout = dout.astype(jnp.float32)

@@ -286,3 +286,69 @@ def test_grid_sample_family_grad_interpret(rng):
     )
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=0.01,
                                atol=0.05)
+
+
+def test_grid_sample_banded_interpret(rng):
+    """Banded Pallas warp (interpret mode): fast path matches the gather
+    warp for band-respecting coordinates; strict path for wild ones."""
+    from ssde_tpu.ops.pallas.warp_banded import (
+        band_violation_fraction,
+        grid_sample_banded,
+    )
+
+    B, H, W = 1, 64, 128
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = (2 * (xs + 0.5) / W - 1)[None] + rng.randn(B, H, W) * 0.02
+    gy = (2 * (ys + 0.5) / H - 1)[None] + rng.randn(B, H, W) * 0.02
+    grid = np.stack([gx, gy], -1).astype(np.float32)
+    grids = jnp.asarray(np.stack([grid, grid], 1))
+
+    assert float(band_violation_fraction(img.shape, grids)) == 0.0
+    outs = np.asarray(grid_sample_banded(jnp.asarray(img), grids,
+                                         False, 8, True))
+    ref = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(outs[:, 0], ref, atol=2e-2)
+
+    wild = jnp.asarray(
+        (rng.rand(B, 1, H, W, 2).astype(np.float32) * 2.4 - 1.2))
+    assert float(band_violation_fraction(img.shape, wild)) > 0
+    outs_w = np.asarray(grid_sample_banded(jnp.asarray(img), wild,
+                                           False, 8, True, True))
+    ref_w = np.asarray(grid_sample(jnp.asarray(img), wild[:, 0]))
+    np.testing.assert_allclose(outs_w[:, 0], ref_w, atol=2e-2)
+
+
+def test_grid_sample_banded_grad_interpret(rng):
+    from ssde_tpu.ops.pallas.warp_banded import grid_sample_banded
+    from ssde_tpu.ops.warp import grid_sample_mxu
+
+    B, H, W = 1, 64, 128
+    img = jnp.asarray(rng.rand(B, H, W, 1).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = (2 * (xs + 0.5) / W - 1)[None] + rng.randn(B, H, W) * 0.02
+    gy = (2 * (ys + 0.5) / H - 1)[None] + rng.randn(B, H, W) * 0.02
+    grid = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+    grids = grid[:, None]
+    g1 = jax.grad(
+        lambda g: jnp.sum(grid_sample_banded(img, g, False, 8, True) ** 2)
+    )(grids)
+    g2 = jax.grad(lambda g: jnp.sum(grid_sample_mxu(img, g) ** 2))(grid)
+    np.testing.assert_allclose(np.asarray(g1[:, 0]), np.asarray(g2),
+                               rtol=0.02, atol=0.05)
+
+
+def test_grid_sample_onehot_interpret(rng):
+    from ssde_tpu.ops.pallas.warp_onehot import grid_sample_onehot
+
+    B, H, W = 1, 64, 128
+    img = rng.rand(B, H, W, 3).astype(np.float32)
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = (2 * (xs + 0.5) / W - 1)[None] + rng.randn(B, H, W) * 0.02
+    gy = (2 * (ys + 0.5) / H - 1)[None] + rng.randn(B, H, W) * 0.02
+    grid = np.stack([gx, gy], -1).astype(np.float32)
+    grids = jnp.asarray(np.stack([grid], 1))
+    outs = np.asarray(grid_sample_onehot(jnp.asarray(img), grids,
+                                         False, 8, True))
+    ref = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
+    np.testing.assert_allclose(outs[:, 0], ref, atol=2e-2)
