@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 _kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -70,9 +71,6 @@ class AttentionConv(nn.Module):
         val = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
                       dtype=self.dtype, name="value_conv")(xp)
 
-        kw = extract_windows(key, k)   # (B, H, W, k2, C)
-        vw = extract_windows(val, k)
-
         if self.shared_rel:
             rel_h = self.param("rel_h", nn.initializers.normal(1.0), (k,))
             rel_w = self.param("rel_w", nn.initializers.normal(1.0), (k,))
@@ -93,11 +91,41 @@ class AttentionConv(nn.Module):
             rw = jnp.tile(rel_w, (1, k))                   # (C/2, k2) by col
             rel = jnp.concatenate([rh, rw], axis=0).T      # (k2, C)
 
-        kw = kw + rel.astype(kw.dtype)
+        # streaming softmax over the k^2 window WITHOUT materializing a
+        # (B, H, W, k2, C) window tensor: with the small channel counts of
+        # the fusion blocks the (k2, C) trailing tile is mostly padding
+        # (14% utilization at C=32) and the windowed tensors cost GBs of
+        # HBM per step. The chain runs in planar (B, C, H, W) so XLA's
+        # (8, 128) tiles land on full (H, W) dims instead of padding C
+        # 4x, and is rematerialized in backward (checkpoint) so autodiff
+        # saves only q/key/val, not the k^2 logit tensors.
+        B, H, W, _ = q.shape
+        rel = rel.astype(q.dtype)              # (k2, C)
 
-        logits = q[:, :, :, None, :] * kw                  # per-channel logits
-        attn = nn.softmax(logits, axis=3)
-        return jnp.sum(attn * vw, axis=3)
+        @jax.checkpoint
+        def attend(qp, kp, vp):
+            # planar: qp (B, C, H, W); kp/vp padded (B, C, H+2p, W+2p)
+            logits = []
+            for i in range(k * k):
+                dh, dw = i // k, i % k
+                r_i = rel[i][None, :, None, None]
+                k_i = kp[:, :, dh:dh + H, dw:dw + W] + r_i
+                logits.append(qp * k_i)
+            m = logits[0]
+            for l in logits[1:]:
+                m = jnp.maximum(m, l)
+            num = jnp.zeros_like(qp)
+            den = jnp.zeros_like(qp)
+            for i in range(k * k):
+                dh, dw = i // k, i % k
+                e = jnp.exp(logits[i] - m)
+                den = den + e
+                num = num + e * vp[:, :, dh:dh + H, dw:dw + W]
+            return num / den
+
+        out = attend(q.transpose(0, 3, 1, 2), key.transpose(0, 3, 1, 2),
+                     val.transpose(0, 3, 1, 2))
+        return out.transpose(0, 2, 3, 1)
 
 
 class AttentionStem(nn.Module):
