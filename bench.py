@@ -36,7 +36,7 @@ def main():
         make_mono_train_step,
     )
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "48"))
     opts = Options(
         height=192, width=640, batch_size=batch_size, num_layers=18,
         compute_dtype="bfloat16", frame_ids=[0, -1, 1], scales=[0, 1, 2, 3],

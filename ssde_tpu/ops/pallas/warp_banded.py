@@ -112,10 +112,10 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int,
                 aw = a0 + wxt * ad
                 out_ref[0, c, k:k + 1, sl] = jnp.sum(vyw * aw, axis=0,
                                                      keepdims=True)
-                rdx_ref[0, c, k:k + 1, sl] = jnp.sum(vyw * ad, axis=0,
-                                                     keepdims=True)
-                rdy_ref[0, c, k:k + 1, sl] = jnp.sum(vyd * aw, axis=0,
-                                                     keepdims=True)
+                rdx_ref[0, c, k:k + 1, sl] = jnp.sum(
+                    vyw * ad, axis=0, keepdims=True).astype(jnp.bfloat16)
+                rdy_ref[0, c, k:k + 1, sl] = jnp.sum(
+                    vyd * aw, axis=0, keepdims=True).astype(jnp.bfloat16)
 
 
 def _unnormalize_clamped(grid, H, W, align_corners):
@@ -144,6 +144,9 @@ def _taps_banded_pallas(img, fx, fy, S, chunk, interpret):
     img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g // S, 0, 0, 0))
     out_spec = pl.BlockSpec((1, C, chunk, Wo), lambda g, r: (g, 0, r, 0))
     out_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.float32)
+    # residuals only feed the pose/disp gradient dot in the bwd: bf16
+    # halves their HBM footprint and write/read traffic
+    res_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.bfloat16)
 
     kernel = functools.partial(_banded_kernel, C, H, W, chunk)
     return pl.pallas_call(
@@ -151,7 +154,7 @@ def _taps_banded_pallas(img, fx, fy, S, chunk, interpret):
         grid=grid,
         in_specs=[coord_spec, coord_spec, img_spec],
         out_specs=(out_spec, out_spec, out_spec),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_shape=(out_shape, res_shape, res_shape),
         interpret=interpret,
     )(fx, fy, imgp)
 
@@ -174,8 +177,8 @@ def _taps_mxu_reference(img, grids, align_corners):
         rdx = (1 - wye) * (t01 - t00) + wye * (t11 - t10)
         rdy = (1 - wxe) * (t10 - t00) + wxe * (t11 - t01)
         outs.append(out)
-        rdxs.append(rdx)
-        rdys.append(rdy)
+        rdxs.append(rdx.astype(jnp.bfloat16))
+        rdys.append(rdy.astype(jnp.bfloat16))
 
     def pack(ts):  # S x (B, Ho, Wo, C) -> (B*S, C, Ho, Wo)
         t = jnp.stack(ts, axis=1)
@@ -276,8 +279,8 @@ def _gsb_bwd(align_corners, chunk, interpret, strict, res, dout):
     _, H, W, _ = img_spec.shape
     dout = dout.astype(jnp.float32)
     in_x, in_y = _grad_masks(grids, H, W, align_corners)
-    dwx = jnp.sum(dout * rdx, axis=-1)
-    dwy = jnp.sum(dout * rdy, axis=-1)
+    dwx = jnp.sum(dout * rdx.astype(jnp.float32), axis=-1)
+    dwy = jnp.sum(dout * rdy.astype(jnp.float32), axis=-1)
     dgrids = jnp.stack([dwx * in_x, dwy * in_y], axis=-1)
     return jnp.zeros(img_spec.shape, img_spec.dtype), dgrids
 
