@@ -109,8 +109,10 @@ class Options:
     matmul_precision: str = "default"
     # number of data-parallel shards (devices); 0 = all visible devices
     num_devices: int = 0
-    # use fused Pallas kernels for the photometric loss path
-    use_pallas: bool = False
+    # fused Pallas SSIM+L1 photometric-error kernel (ops/pallas/photometric)
+    # on the batched loss path: used when True, on TPU, no_ssim is off and
+    # the resolution fits VMEM (fits_photometric); else the jnp formulation
+    use_pallas: bool = True
     # bilinear warp backend: "auto" | "banded" (banded lane-gather Pallas,
     # whole scale family per source; TPU training default) | "onehot"
     # (VMEM one-hot MXU Pallas) | "family" (plain lane-gather, W<=128

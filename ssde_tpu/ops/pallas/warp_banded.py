@@ -8,20 +8,25 @@ instead: within one output row, the source y's span a few rows and each
 
   * slices a VBAND-row source band at the row-chunk's min y0
     (dynamic sublane slice),
-  * per output column tile, slices TWO 128-column windows (at the tile's
-    min x0 and max x0 - 126; together they cover any x-span <= 254) and
-    lane-gathers the horizontal taps from whichever window holds each
-    pixel,
+  * gathers the horizontal taps from the THREE static neighbor column
+    tiles (t-1, t, t+1) with membership masks — valid iff
+    ``x0 - t*TW`` is in ``[-TW, 2*TW - 2]``,
   * applies the vertical 2-tap lerp as a masked reduction over the band,
   * emits the warped value plus the two directional-derivative residuals
     (d out/d wx, d out/d wy) for the O(output) custom-VJP backward.
 
-The wrapper checks the band assumptions on the actual coordinates (a
-cheap XLA reduction) and falls back to the exact one-hot MXU formulation
-(ops/warp.grid_sample_mxu) via lax.cond when any row violates them, so
-semantics are exactly torch ``grid_sample(mode='bilinear',
-padding_mode='border', align_corners=False)`` for ANY input — wild test
-grids included. Reference op: trainer.py:508-511.
+There is deliberately NO runtime fallback (a lax.cond around a Pallas
+fast path makes XLA execute BOTH branches; measured 231 -> 140 ms per
+train step after removing it). Out-of-budget coordinates therefore
+APPROXIMATE: source rows beyond the vertical band clamp to the band
+edge, and source columns outside the 3-tile window (or beyond a Wo-wide
+source) produce ZEROS, not border values. For in-budget coordinates —
+which reprojection warps of plausible KITTI poses always are — semantics
+match torch ``grid_sample(mode='bilinear', padding_mode='border',
+align_corners=False)``. Use ``strict=True`` for exact semantics on
+arbitrary grids, and :func:`band_violation_fraction` (wired into the
+training losses dict as ``warp/band_violation``) to monitor both the y-
+and x-budgets at run time. Reference op: trainer.py:508-511.
 """
 
 from __future__ import annotations
@@ -34,7 +39,6 @@ from jax import lax
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except ImportError:  # pragma: no cover
@@ -187,21 +191,6 @@ def _taps_mxu_reference(img, grids, align_corners):
     return pack(outs), pack(rdxs), pack(rdys)
 
 
-def _fits_banded(img_shape, grids, align_corners, chunk):
-    """Scalar bool: every row/tile satisfies the band assumptions."""
-    _, H, W, _ = img_shape
-    fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
-    B, S, Ho, Wo = fy.shape
-    y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
-    x0 = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
-    # per-row y span (kernel bands per row, min aligned down by up to 7)
-    fit_y = (jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)) <= YSPAN
-    # x0 must live in the 3 neighbor tiles: x0 - t*TW in [-TW, 2*TW - 2]
-    n_tiles = Wo // TW
-    offs = (jnp.arange(n_tiles) * TW)[None, None, None, :, None]
-    rel = x0.reshape(B, S, Ho, n_tiles, TW) - offs
-    fit_x = jnp.all((rel >= -TW) & (rel <= 2 * TW - 2))
-    return jnp.all(fit_y) & fit_x
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
@@ -226,12 +215,30 @@ def grid_sample_banded(img, grids, align_corners: bool = False,
 
 
 def band_violation_fraction(img_shape, grids, align_corners: bool = False):
-    """Fraction of output rows whose y-span exceeds the band budget."""
+    """Fraction of kernel work units whose coordinates break a band budget.
+
+    Checks BOTH approximation sources of the banded kernel: output rows
+    whose source-y span exceeds the vertical band (clamped to the band
+    edge) and output column tiles with any source-x outside the 3 static
+    neighbor tiles (emitted as zeros). 0.0 means the kernel is exact
+    (modulo bf16 taps); training logs this as ``warp/band_violation``
+    — a sustained non-zero value means switch to ``strict=True`` (or the
+    ``mxu`` backend) for that data distribution.
+    """
     _, H, W, _ = img_shape
-    _, fy = _unnormalize_clamped(grids, H, W, align_corners)
+    fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
     y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
     span = jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)
-    return jnp.mean((span > YSPAN).astype(jnp.float32))
+    bad_y = span > YSPAN
+    x0 = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
+    Wo = x0.shape[-1]
+    n_tiles = max(Wo // TW, 1)
+    rel = x0.reshape(*x0.shape[:-1], n_tiles, Wo // n_tiles) - (
+        jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * TW
+    )
+    bad_x = jnp.any((rel < -TW) | (rel > 2 * TW - 2), axis=-1)
+    bad = bad_y[..., None] | bad_x
+    return jnp.mean(bad.astype(jnp.float32))
 
 
 def _gsb_fwd(img, grids, align_corners, chunk, interpret, strict=False):

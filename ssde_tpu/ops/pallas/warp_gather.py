@@ -33,7 +33,6 @@ from jax import lax
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except ImportError:  # pragma: no cover

@@ -12,10 +12,12 @@ row and contracts it there:
 
 where ``band3`` stacks a VBAND-row source band of all C channels on
 sublanes (C*VBAND rows fills the MXU's M dimension). The vertical band
-follows ops/warp._mxu_taps: min y0 per row, wrapper-checked, with an
-exact XLA fallback (shared with warp_banded) when any row's span exceeds
-the budget. Emits out / d out/d wx / d out/d wy for the O(output)
-custom-VJP backward. Reference op: trainer.py:508-511.
+follows ops/warp._mxu_taps: min y0 per row; rows whose span exceeds the
+band budget CLAMP to the band edge (no runtime fallback — see
+warp_banded's module docstring for why; monitor via
+warp_banded.band_violation_fraction, and use ``strict=True`` for exact
+semantics on arbitrary grids). Emits out / d out/d wx / d out/d wy for
+the O(output) custom-VJP backward. Reference op: trainer.py:508-511.
 """
 
 from __future__ import annotations
@@ -28,7 +30,6 @@ from jax import lax
 
 try:
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except ImportError:  # pragma: no cover
@@ -36,7 +37,6 @@ except ImportError:  # pragma: no cover
 
 from .warp_banded import (
     VBAND,
-    YSPAN,
     _grad_masks,
     _taps_mxu_reference,
     _unnormalize_clamped,
@@ -117,15 +117,6 @@ def _taps_onehot_pallas(img, fx, fy, S, chunk, interpret):
         out_shape=(out_shape, out_shape, out_shape),
         interpret=interpret,
     )(fx, fy, imgp)
-
-
-def _fits_vertical(img_shape, grids, align_corners):
-    _, H, W, _ = img_shape
-    _, fy = _unnormalize_clamped(grids, H, W, align_corners)
-    y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
-    return jnp.all(
-        (jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)) <= YSPAN
-    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))

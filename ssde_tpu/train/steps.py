@@ -300,22 +300,55 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
         by_src = {}
         for scale, f, src, pix in pairs:
             by_src.setdefault(f, (src, []))[1].append((scale, pix))
+        viol = 0.0
         for f, (src, items) in by_src.items():
             grids = jnp.stack([pix for _, pix in items], axis=1)
             outs = fam(src, grids)
+            if backend in ("banded", "onehot"):
+                # cheap reduction monitoring the banded kernels'
+                # approximation budgets (see warp_banded docstring)
+                from ..ops.pallas.warp_banded import band_violation_fraction
+
+                viol = viol + band_violation_fraction(src.shape, grids)
             for i, (scale, _) in enumerate(items):
                 outputs[f"color/{f}/{scale}"] = outs[:, i]
+        if backend in ("banded", "onehot"):
+            outputs["warp/band_violation"] = viol / len(by_src)
         return outputs
 
     if backend == "pallas":
         from ..ops.pallas import grid_sample_pallas as sampler
-    elif backend in ("mxu", "family"):
+    elif backend in ("mxu", "family", "banded", "onehot"):
+        # banded/onehot operate on scale *families*; under --v1_multiscale
+        # each scale warps its own-resolution source, so they downgrade to
+        # the exact per-pair MXU formulation instead of the slow f32 gather
         sampler = grid_sample_mxu
     else:
         sampler = grid_sample
     for scale, f, src, pix in pairs:
         outputs[f"color/{f}/{scale}"] = sampler(src, pix)
     return outputs
+
+
+def _photometric_mode(opts: Options, target_shape):
+    """Trace-time choice for the batched SSIM+L1 path.
+
+    Returns "" (jnp formulation), "pallas" (fused TPU kernel, measured
+    33 -> 6 ms fwd+bwd for the B=16 4-scale family) or "interpret"
+    (Pallas interpreter — CPU parity tests via SSDE_PHOTO_INTERPRET=1).
+    """
+    import os
+
+    if not opts.use_pallas or opts.no_ssim:
+        return ""
+    from ..ops.pallas.photometric import fits_photometric
+
+    H, W = target_shape[1:3]
+    if not fits_photometric(H, W):
+        return ""
+    if jax.default_backend() == "cpu":
+        return "interpret" if os.environ.get("SSDE_PHOTO_INTERPRET") else ""
+    return "pallas"
 
 
 def _select_warp_backend(opts: Options) -> str:
@@ -352,14 +385,26 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
     if batched:
         target0 = inputs["color/0/0"].astype(jnp.float32)
         B = target0.shape[0]
+        fused = _photometric_mode(opts, target0.shape)
+
+        def rep(preds, n):
+            # (n*B, H, W, 3) stack, batch-fastest -> (n*B, H, W, 1) error
+            if fused:
+                from ..ops.pallas.photometric import reprojection_loss_pallas
+
+                return reprojection_loss_pallas(
+                    preds, target0, interpret=(fused == "interpret")
+                )
+            return reprojection_loss(
+                preds, jnp.tile(target0, (n, 1, 1, 1)), opts.no_ssim
+            )
+
         preds_all = jnp.concatenate(
             [outputs[f"color/{f}/{s}"].astype(jnp.float32)
              for s in opts.scales for f in source_ids],
             axis=0,
         )
-        rep_all = reprojection_loss(
-            preds_all, jnp.tile(target0, (S * F, 1, 1, 1)), opts.no_ssim
-        )
+        rep_all = rep(preds_all, S * F)
         for i, s in enumerate(opts.scales):
             rep_by_scale[s] = jnp.concatenate(
                 [rep_all[(i * F + j) * B:(i * F + j + 1) * B]
@@ -372,9 +417,7 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
                  for f in source_ids],
                 axis=0,
             )
-            ident_all = reprojection_loss(
-                idents_all, jnp.tile(target0, (F, 1, 1, 1)), opts.no_ssim
-            )
+            ident_all = rep(idents_all, F)
             ident_shared = jnp.concatenate(
                 [ident_all[j * B:(j + 1) * B] for j in range(F)], axis=-1
             )
@@ -464,6 +507,10 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
         losses[f"loss/{scale}"] = loss
         total = total + loss
     losses["loss"] = total / S
+    if "warp/band_violation" in outputs:
+        # surfaced in TB scalars; sustained > 0 means the banded warp is
+        # approximating — switch to strict/mxu (warp_banded docstring)
+        losses["warp/band_violation"] = outputs["warp/band_violation"]
     return losses
 
 
