@@ -55,6 +55,18 @@ def pil_load_resized(path: str, width: int, height: int, do_flip: bool) -> np.nd
             return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def item_rng(seed: int, epoch: int, index: int) -> random.Random:
+    """Deterministic per-(seed, epoch, index) RNG stream for __getitem__.
+
+    A private Random per item is thread-safe under ``pool.map`` (the
+    reference mutates ONE shared generator from 12 DataLoader workers, so
+    its draw order is schedule-dependent) and reproducible. ``set_epoch``
+    advances the stream so augmentation coins are re-drawn every epoch,
+    matching the reference's fresh per-visit draws in distribution.
+    """
+    return random.Random((seed * 1_000_003 + epoch) * 1_000_003 + index)
+
+
 def sample_jitter(rng: random.Random) -> np.ndarray:
     """brightness/contrast/saturation in [0.8, 1.2], hue in [-0.1, 0.1]
     (reference mono_dataset.py:72-75)."""
@@ -95,8 +107,13 @@ class KITTIDataset:
         self.is_train = is_train
         self.img_ext = img_ext
         self.K = KITTI_K
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
         self.load_depth = self.check_depth() if load_depth is None else load_depth
+
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the per-item augmentation streams (called by Loader)."""
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.filenames)
@@ -126,8 +143,9 @@ class KITTIDataset:
 
     def __getitem__(self, index):
         folder, frame_index, side = parse_line(self.filenames[index])
-        do_flip = self.is_train and self._rng.random() > 0.5
-        do_jitter = self.is_train and self._rng.random() > 0.5
+        rng = item_rng(self.seed, self._epoch, index)
+        do_flip = self.is_train and rng.random() > 0.5
+        do_jitter = self.is_train and rng.random() > 0.5
 
         inputs = {}
         inputs["color/0"] = self.get_color(folder, frame_index, side, do_flip)
@@ -153,7 +171,7 @@ class KITTIDataset:
                 )
 
         inputs["K"] = self.K.copy()
-        inputs["jitter"] = sample_jitter(self._rng) if do_jitter else IDENTITY_JITTER
+        inputs["jitter"] = sample_jitter(rng) if do_jitter else IDENTITY_JITTER
 
         if self.load_depth:
             inputs["depth_gt"] = self.get_depth(folder, frame_index, side, do_flip)

@@ -30,6 +30,7 @@ from .kitti import (
     IDENTITY_JITTER,
     KITTI_K,
     _resize_nn,
+    item_rng,
     pil_load_resized,
     sample_jitter,
 )
@@ -89,7 +90,11 @@ class KITTISeqDataset:
         self.img_ext = img_ext
         self.load_depth = load_depth
         self.K = KITTI_K
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.sequences)
@@ -115,8 +120,9 @@ class KITTISeqDataset:
     def __getitem__(self, index):
         scene, frame_range = self.sequences[index]
         frames = list(frame_range)  # length n + 2 (center window is 1..n)
-        do_flip = self.is_train and self._rng.random() > 0.5
-        do_jitter = self.is_train and self._rng.random() > 0.5
+        rng = item_rng(self.seed, self._epoch, index)
+        do_flip = self.is_train and rng.random() > 0.5
+        do_jitter = self.is_train and rng.random() > 0.5
 
         imgs = {
             f: pil_load_resized(
@@ -130,7 +136,7 @@ class KITTISeqDataset:
             "color/-1": np.stack([imgs[f] for f in frames[:n]]),
             "color/1": np.stack([imgs[f] for f in frames[2 : n + 2]]),
             "K": self.K.copy(),
-            "jitter": sample_jitter(self._rng) if do_jitter else IDENTITY_JITTER,
+            "jitter": sample_jitter(rng) if do_jitter else IDENTITY_JITTER,
         }
         if self.load_depth:
             inputs["depth_gt"] = np.stack(
@@ -154,7 +160,11 @@ class KITTIImagePairDataset:
         self.width = config["width"]
         self.data_path = config["data_path"]
         self.side_map = {"l": 2, "r": 3}
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.filenames)
@@ -170,7 +180,8 @@ class KITTIImagePairDataset:
 
         scene, frame_index, side = self.filenames[index].split()
         frame_index = int(frame_index)
-        do_flip = self.is_train and self._rng.random() > 0.5
+        do_flip = self.is_train and item_rng(
+            self.seed, self._epoch, index).random() > 0.5
 
         rgb = pil_load_resized(
             self.get_image_path(frame_index, scene, self.side_map[side]),

@@ -11,8 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .kitti import IDENTITY_JITTER, KITTI_K, sample_jitter
-import random
+from .kitti import IDENTITY_JITTER, KITTI_K, item_rng, sample_jitter
 
 
 def _texture(h, w, seed):
@@ -39,8 +38,12 @@ class SyntheticKittiDataset:
         self.frame_idxs = list(frame_idxs)
         self.is_train = is_train
         self.load_depth = load_depth
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
         self._tex = _texture(height, width + 64, seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return self.length
@@ -54,9 +57,10 @@ class SyntheticKittiDataset:
                 self._tex, self.height, self.width, shift
             )
         inputs["K"] = KITTI_K.copy()
+        rng = item_rng(self.seed, self._epoch, index)
         inputs["jitter"] = (
-            sample_jitter(self._rng)
-            if self.is_train and self._rng.random() > 0.5
+            sample_jitter(rng)
+            if self.is_train and rng.random() > 0.5
             else IDENTITY_JITTER.copy()
         )
         if self.load_depth:
@@ -82,8 +86,12 @@ class SyntheticSeqDataset:
         self.n = n
         self.length = length
         self.is_train = is_train
-        self._rng = random.Random(seed)
+        self.seed = seed
+        self._epoch = 0
         self._tex = _texture(height, width + 96, seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
 
     def __len__(self):
         return self.length

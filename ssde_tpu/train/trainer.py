@@ -188,6 +188,11 @@ class TrainerBase:
 
     def run_epoch(self):
         print(f"Training epoch {self.epoch}", flush=True)
+        # advance the per-item augmentation streams (data/kitti.item_rng):
+        # fresh flip/jitter coins each epoch, deterministic per (seed,
+        # epoch, index) regardless of worker schedule
+        if hasattr(self.train_dataset, "set_epoch"):
+            self.train_dataset.set_epoch(self.epoch)
         rng = jax.random.PRNGKey(self.epoch)
         for batch_idx, batch in enumerate(self.train_loader):
             before = time.time()
