@@ -7,13 +7,48 @@ import os
 import numpy as np
 
 
+def _host_cache_key() -> str:
+    """Cache subdirectory key for the current host/backend.
+
+    XLA:CPU AOT entries embed the compile machine's CPU feature set and
+    fail (slowly!) to load on a host with different features, so CPU
+    caches must be keyed by the host's feature fingerprint. TPU compiles
+    target the accelerator, not the host — one shared subdir suffices.
+    """
+    import hashlib
+    import platform
+
+    import jax
+
+    backend = "cpu"
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        pass
+    if backend != "cpu":
+        return backend
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.md5(f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
+    return f"cpu-{h}"
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     """Point JAX's persistent compilation cache at a repo-local directory.
 
     XLA:CPU compiles of the full train step are minutes-long on weak hosts;
     warm cache hits load in seconds. Used by tests/conftest.py, bench.py
     and the driver graft entry. Safe to call multiple times / before any
-    computation.
+    computation. The directory is keyed per host fingerprint (see
+    :func:`_host_cache_key`) so entries built on one machine never poison
+    another's runs with slow failing AOT loads.
     """
     import jax
 
@@ -22,6 +57,7 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             ".jax_cache",
         )
+    cache_dir = os.path.join(cache_dir, _host_cache_key())
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -9,9 +9,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# 8 virtual devices timeshare the host cores: partitions reach each
+# collective rendezvous minutes apart on a 1-core box, and XLA:CPU
+# SIGABRTs the process at its default ~30 s termination timeout.
+if "xla_cpu_collective" not in flags:
+    flags += (" --xla_cpu_collective_timeout_seconds=1200"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 

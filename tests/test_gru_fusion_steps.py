@@ -38,7 +38,13 @@ def _seq_batch(opts):
     return collate([ds[i] for i in range(opts.batch_size)])
 
 
-@pytest.mark.parametrize("version", ["v3", "v9", "v4", "v7", "v5", "v8"])
+@pytest.mark.parametrize(
+    "version",
+    # v9 (the flagship) stays in the fast tier; the other five wirings
+    # each cost a full XLA:CPU train-step compile -> slow tier
+    ["v9"] + [pytest.param(v, marks=pytest.mark.slow)
+              for v in ("v3", "v4", "v7", "v5", "v8")],
+)
 def test_gru_train_step(version):
     opts = _gru_opts(version)
     batch = _seq_batch(opts)
@@ -52,6 +58,7 @@ def test_gru_train_step(version):
     assert int(state.step) == 1
 
 
+@pytest.mark.slow
 def test_gru_train_step_improves():
     opts = _gru_opts("v9")
     batch = _seq_batch(opts)
@@ -70,8 +77,12 @@ def test_gru_train_step_improves():
     assert float(losses["loss"]) < first
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("variant", ["pyramid", "v3", "scale_loop"])
 def test_fusion_train_step(variant):
+    # slow tier: each variant is a full multi-frame train-step compile
+    # (~2 min on a 1-core host); module-level fusion forwards stay fast
+    # in test_models.py
     opts = Options(
         height=H, width=W, batch_size=2, num_layers=18,
         compute_dtype="float32", frame_ids=[0, -2, -1, 1],

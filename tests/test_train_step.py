@@ -76,6 +76,7 @@ def test_mono_train_step_improves_loss():
     assert int(state.step) == 6
 
 
+@pytest.mark.slow
 def test_mono_train_step_posecnn():
     opts = small_opts(pose_model_type="posecnn")
     batch = make_synthetic_batch(2, H, W)
@@ -85,6 +86,7 @@ def test_mono_train_step_posecnn():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_mono_train_step_ablations():
     opts = small_opts(disable_automasking=True, avg_reprojection=True,
                       no_ssim=True, v1_multiscale=True)
@@ -95,9 +97,14 @@ def test_mono_train_step_ablations():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_mono_train_step_multichip():
     """Data-parallel over the 8-device CPU mesh: batch sharded, params
-    replicated, XLA inserts the gradient allreduce."""
+    replicated, XLA inserts the gradient allreduce.
+
+    slow: on a 1-core host the 8 partitions run sequentially, so each
+    collective rendezvous waits ~7x one partition's compute (the driver's
+    dryrun_multichip covers this path externally every round)."""
     assert len(jax.devices()) == 8
     opts = small_opts(batch_size=8)
     batch = make_synthetic_batch(8, H, W)
@@ -112,6 +119,7 @@ def test_mono_train_step_multichip():
     assert leaf.sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_mono_train_step_shared_pose():
     opts = small_opts(pose_model_type="shared")
     batch = make_synthetic_batch(2, H, W)
@@ -121,6 +129,7 @@ def test_mono_train_step_shared_pose():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_mono_train_step_pose_all_frames():
     opts = small_opts(pose_model_input="all")
     batch = make_synthetic_batch(2, H, W)
@@ -130,6 +139,7 @@ def test_mono_train_step_pose_all_frames():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_mono_train_step_stereo():
     opts = small_opts(use_stereo=True, frame_ids=[0, -1, 1, "s"])
     batch = make_synthetic_batch(2, H, W, frame_idxs=(0, -1, 1, "s"))
@@ -141,6 +151,7 @@ def test_mono_train_step_stereo():
     assert np.isfinite(float(losses["loss"]))
 
 
+@pytest.mark.slow
 def test_mono_train_step_predictive_mask():
     opts = small_opts(predictive_mask=True, disable_automasking=True)
     batch = make_synthetic_batch(2, H, W)

@@ -7,6 +7,11 @@ import pytest
 
 from ssde_tpu.config import Options
 
+# full Trainer loops (train-step + val-step + infer compiles each) are the
+# most expensive jits in the suite -> slow tier; the step-level fast tests
+# in test_train_step/test_gru_fusion_steps cover the compute path
+pytestmark = pytest.mark.slow
+
 
 def tiny_opts(tmp_path, **kw):
     defaults = dict(
