@@ -29,3 +29,4 @@ from .recurrent import (
     make_gru,
     GRU_HIDDEN_SPECS,
 )
+from .dpt import DPTDepthModel, get_mean_attention_map

@@ -390,3 +390,40 @@ class FusionScaleLoopTrainer(_FusionTrainerBase):
     """trainer.py equivalent (shared FeatureFusionBlock per scale)."""
 
     fusion_variant = "scale_loop"
+
+
+class DPTTrainer(TrainerBase):
+    """--model dpt_gru branch: native DPT-hybrid depth (trainer_dpt.py:63-70).
+
+    The reference forces frame_ids to [0, -1, 1] for this model
+    (trainer_dpt.py:63) and its DPT emits one full-resolution disparity,
+    so the loss runs at scale 0 only.
+    """
+
+    variant = "dpt"
+
+    def __init__(self, options: Options):
+        options.frame_ids = [0, -1, 1]
+        options.scales = [0]
+        super().__init__(options)
+
+    def _build_models(self):
+        from .steps_dpt import build_dpt_models
+
+        return build_dpt_models(self.opt)
+
+    def _init_params(self, rng, inputs):
+        from .steps_dpt import init_dpt_params
+
+        return init_dpt_params(self.models, rng, inputs)
+
+    def _make_train_step(self):
+        from .steps_dpt import make_dpt_train_step
+
+        return make_dpt_train_step(self.models)
+
+    def _eval_loss(self, inputs, rng):
+        from .steps_dpt import dpt_loss_fn
+
+        return dpt_loss_fn(self.models, self.state.params,
+                           self.state.batch_stats, inputs, rng, train=False)
