@@ -90,3 +90,30 @@ def test_synthetic_has_parallax():
     item = ds[0]
     # neighbouring frames differ (camera moved)
     assert np.abs(item["color/0"] - item["color/1"]).mean() > 1e-3
+
+
+def test_item_rng_deterministic_and_schedule_free():
+    """Augmentation draws are per-(seed, epoch, index): identical no matter
+    which worker/schedule fetches the item, re-drawn across epochs."""
+    from ssde_tpu.data.kitti import item_rng
+
+    a = [item_rng(0, 0, i).random() for i in range(8)]
+    b = [item_rng(0, 0, i).random() for i in reversed(range(8))][::-1]
+    assert a == b  # order of access cannot change the draws
+    c = [item_rng(0, 1, i).random() for i in range(8)]
+    assert a != c  # epoch advance re-draws
+    d = [item_rng(1, 0, i).random() for i in range(8)]
+    assert a != d  # seed isolates runs
+
+
+def test_synthetic_set_epoch_changes_jitter():
+    ds = SyntheticKittiDataset(height=32, width=64, length=16, seed=3)
+    first = [ds[i]["jitter"].copy() for i in range(16)]
+    again = [ds[i]["jitter"].copy() for i in range(16)]
+    for x, y in zip(first, again):
+        np.testing.assert_array_equal(x, y)  # same epoch -> same coins
+    ds.set_epoch(1)
+    second = [ds[i]["jitter"].copy() for i in range(16)]
+    assert any(
+        not np.array_equal(x, y) for x, y in zip(first, second)
+    )  # new epoch -> fresh coins
