@@ -84,13 +84,33 @@ class _ConvParams(nn.Module):
     (checkpoint converters and torch-parity tests see identical params)."""
 
     shape: tuple  # (kh, kw, in_ch, out_ch)
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             self.shape)
+        if not self.use_bias:
+            return kernel, None
         bias = self.param("bias", nn.initializers.zeros, (self.shape[-1],))
         return kernel, bias
+
+
+def conv_same_nhwc(x, kernel, bias=None, dtype=None):
+    """Zero-pad SAME conv on NHWC with an explicit HWIO kernel.
+
+    The explicit-kernel form lets callers slice/concat stored kernels
+    (weight-space ops are tiny and loop-invariant) to restructure compute
+    without changing the parameter tree — see ConvGRUCell."""
+    if dtype is not None:
+        x, kernel = x.astype(dtype), kernel.astype(dtype)
+        bias = bias.astype(dtype) if bias is not None else None
+    ph, pw = kernel.shape[0] // 2, kernel.shape[1] // 2
+    out = lax.conv_general_dilated(
+        x, kernel, (1, 1), [(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out if bias is None else out + bias
 
 
 class Conv3x3(nn.Module):
@@ -107,19 +127,37 @@ class Conv3x3(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, planar: bool = False, act: str = "none"):
+        """NHWC by default. ``planar=True`` takes/returns (B, H, C, W) and
+        runs the fused Pallas kernel (ops/pallas/conv3x3) with ``act``
+        ("none" | "elu" | "sigmoid") fused in; parameters are identical
+        either way."""
         if not self.use_refl:
+            assert not planar
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             return nn.Conv(
                 self.out_channels, (3, 3), padding="VALID", dtype=self.dtype,
                 name="conv",
             )(x)
+        cin = x.shape[2] if planar else x.shape[-1]
         kernel, bias = _ConvParams(
-            (3, 3, x.shape[-1], self.out_channels), name="conv")()
+            (3, 3, cin, self.out_channels), name="conv")()
         if self.dtype is not None:
             x, kernel, bias = (x.astype(self.dtype), kernel.astype(self.dtype),
                                bias.astype(self.dtype))
-        return conv3x3_reflect_same(x, kernel, bias)
+        if planar:
+            from ..ops.pallas.conv3x3 import conv3x3
+
+            import os
+
+            return conv3x3(x, kernel, bias, act,
+                           interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+        out = conv3x3_reflect_same(x, kernel, bias)
+        if act == "elu":
+            out = nn.elu(out)
+        elif act == "sigmoid":
+            out = nn.sigmoid(out)
+        return out
 
 
 class ConvBlock(nn.Module):
@@ -129,9 +167,9 @@ class ConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
-        x = Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(x)
-        return nn.elu(x)
+    def __call__(self, x, planar: bool = False):
+        return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(
+            x, planar=planar, act="elu")
 
 
 class ResidualConvUnit(nn.Module):
