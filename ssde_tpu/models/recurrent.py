@@ -28,7 +28,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.image import pixel_shuffle
-from .common import Conv3x3
+from .common import Conv3x3, _ConvParams, conv_same_nhwc
 from .fusion import GRUFusionBlock, GRUFusionBlock_v2
 
 
@@ -40,20 +40,28 @@ class ConvGRUCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, h):
-        k = self.kernel_size
-        combined = jnp.concatenate([x, h], axis=-1)
-        gates = nn.Conv(2 * self.hidden_dim, (k, k), padding=k // 2,
-                        use_bias=self.use_bias, dtype=self.dtype,
-                        name="conv_gates")(combined)
-        gamma, beta = jnp.split(gates, 2, axis=-1)
-        reset = nn.sigmoid(gamma)
-        update = nn.sigmoid(beta)
-        combined = jnp.concatenate([x, reset * h], axis=-1)
-        cand = jnp.tanh(
-            nn.Conv(self.hidden_dim, (k, k), padding=k // 2,
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv_can")(combined)
-        )
+        k, hid = self.kernel_size, self.hidden_dim
+        cx = x.shape[-1]
+        # Parameters are exactly the reference layout (rnn.py:101-140):
+        # conv_gates (cx+hid -> 2*hid) on concat([x, h]) and conv_can
+        # (cx+hid -> hid) on concat([x, reset*h]). The COMPUTE is
+        # restructured: conv(concat([a, b]), K) == conv(a, K[:ca]) +
+        # conv(b, K[ca:]), so each source tensor is convolved once (x at
+        # 3*hid out) and the two activation concats — pure HBM traffic —
+        # disappear. Weight-space slices/concats are tiny and hoisted.
+        kg, bg = _ConvParams((k, k, cx + hid, 2 * hid), self.use_bias,
+                             name="conv_gates")()
+        kc, bc = _ConvParams((k, k, cx + hid, hid), self.use_bias,
+                             name="conv_can")()
+        kx = jnp.concatenate([kg[:, :, :cx], kc[:, :, :cx]], axis=-1)
+        bx = (jnp.concatenate([bg, bc]) if self.use_bias else None)
+        xs = conv_same_nhwc(x, kx, bx, self.dtype)
+        hs = conv_same_nhwc(h, kg[:, :, cx:], None, self.dtype)
+        gates = xs[..., :2 * hid] + hs
+        reset = nn.sigmoid(gates[..., :hid])
+        update = nn.sigmoid(gates[..., hid:])
+        ch = conv_same_nhwc(reset * h, kc[:, :, cx:], None, self.dtype)
+        cand = jnp.tanh(xs[..., 2 * hid:] + ch)
         return (1.0 - update) * h + update * cand
 
 
@@ -66,11 +74,13 @@ class ConvLSTMCell(nn.Module):
     @nn.compact
     def __call__(self, x, state):
         h, c = state
-        k = self.kernel_size
-        combined = jnp.concatenate([x, h], axis=-1)
-        conv = nn.Conv(4 * self.hidden_dim, (k, k), padding=k // 2,
-                       use_bias=self.use_bias, dtype=self.dtype,
-                       name="conv")(combined)
+        k, hid = self.kernel_size, self.hidden_dim
+        cx = x.shape[-1]
+        # same split-conv restructure as ConvGRUCell (no activation concat)
+        kv, bv = _ConvParams((k, k, cx + hid, 4 * hid), self.use_bias,
+                             name="conv")()
+        conv = (conv_same_nhwc(x, kv[:, :, :cx], bv, self.dtype)
+                + conv_same_nhwc(h, kv[:, :, cx:], None, self.dtype))
         i, f, o, g = jnp.split(conv, 4, axis=-1)
         c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
         h_next = nn.sigmoid(o) * jnp.tanh(c_next)
