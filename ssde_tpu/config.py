@@ -63,6 +63,10 @@ class Options:
     learning_rate: float = 1e-4
     num_epochs: int = 20
     scheduler_step_size: int = 15
+    # The reference GRU trainer constructs a StepLR but never steps it
+    # (trainer_gru.py:316 is commented out), so its effective LR is
+    # constant; set True to decay the GRU run like the mono trainers.
+    gru_lr_decay: bool = False
 
     # ABLATION
     v1_multiscale: bool = False

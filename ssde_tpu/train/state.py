@@ -58,8 +58,11 @@ def make_lr_schedule(learning_rate: float, scheduler_step_size: int,
 
     Decays at EVERY multiple of step_size epochs (15, 30, 45, ...), matching
     torch.optim.lr_scheduler.StepLR (reference trainer.py:128-129), not just
-    the first boundary.
+    the first boundary. ``scheduler_step_size <= 0`` disables decay (constant
+    LR — the reference GRU trainer's effective behavior, trainer_gru.py:316).
     """
+    if scheduler_step_size <= 0:
+        return optax.constant_schedule(learning_rate)
     boundary = scheduler_step_size * max(1, steps_per_epoch)
     return optax.exponential_decay(
         learning_rate, transition_steps=boundary, decay_rate=gamma,

@@ -128,6 +128,7 @@ class TrainerBase:
             num_workers=opt.num_workers,
         )
         self._val_iter = None
+        self._val_failures = 0
 
     # ------------------------------------------------- models and state
     def _build_models_and_state(self):
@@ -244,9 +245,16 @@ class TrainerBase:
         batch = shard_batch(batch, self.mesh)
         try:
             inputs, outputs, losses = self.process_batch(batch)
-        except Exception as e:  # val must never kill training
-            print(f"val failed: {e}")
+        except Exception as e:
+            # one flaky val batch must not kill a long training run, but a
+            # permanently-broken val path must not degrade to a print in a
+            # log nobody reads: re-raise after 5 consecutive failures
+            self._val_failures += 1
+            print(f"val failed ({self._val_failures} consecutive): {e}")
+            if self._val_failures >= 5:
+                raise
             return
+        self._val_failures = 0
         scalars = {k: float(v) for k, v in losses.items()}
         if "depth_gt" in batch:
             scalars.update(self.compute_depth_losses(batch, outputs))

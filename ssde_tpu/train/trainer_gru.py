@@ -115,8 +115,12 @@ class GRUTrainer(TrainerBase):
                     if k in batch_stats:
                         batch_stats[k] = s[k]
 
+        # reference trainer_gru.py:316 never steps its StepLR -> constant LR
+        # unless the user opts into decay with --gru_lr_decay
+        self._gru_step_size = (opt.scheduler_step_size if opt.gru_lr_decay
+                               else 0)
         tx = create_optimizer(
-            opt.learning_rate, opt.scheduler_step_size,
+            opt.learning_rate, self._gru_step_size,
             max(1, len(self.train_loader)),
         )
         self.state = TrainState.create(params, batch_stats, tx)
@@ -129,7 +133,7 @@ class GRUTrainer(TrainerBase):
         if self.epoch >= self.opt.h_s_epoch and not self._h0_frozen:
             print(f"---> Freezing learned hidden states at epoch {self.epoch}")
             tx = create_optimizer(
-                self.opt.learning_rate, self.opt.scheduler_step_size,
+                self.opt.learning_rate, self._gru_step_size,
                 max(1, len(self.train_loader)), freeze_h0=True,
             )
             self.state = self.state.replace(tx=tx)

@@ -160,3 +160,19 @@ def test_mono_train_step_predictive_mask():
     step = make_mono_train_step(models)
     state, losses = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(losses["loss"]))
+
+
+def test_lr_schedule_steplr_and_constant():
+    """StepLR decays at every step_size-epoch boundary; step_size<=0 is
+    constant LR (the reference GRU trainer never steps its scheduler,
+    trainer_gru.py:316)."""
+    from ssde_tpu.train.state import make_lr_schedule
+
+    s = make_lr_schedule(1e-4, 15, 100)
+    assert float(s(0)) == pytest.approx(1e-4)
+    assert float(s(15 * 100 - 1)) == pytest.approx(1e-4)
+    assert float(s(15 * 100)) == pytest.approx(1e-5)
+    assert float(s(30 * 100)) == pytest.approx(1e-6)
+    c = make_lr_schedule(1e-4, 0, 100)
+    assert float(c(0)) == pytest.approx(1e-4)
+    assert float(c(10**6)) == pytest.approx(1e-4)
