@@ -1,1 +1,11 @@
-from .mesh import make_mesh, batch_sharding, replicated, shard_batch, host_to_device
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    host_to_device,
+    make_mesh,
+    make_mesh_2d,
+    model_sharded_params,
+    replicated,
+    shard_batch,
+)
