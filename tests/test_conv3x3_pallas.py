@@ -16,11 +16,14 @@ from ssde_tpu.models.common import conv3x3_reflect_same
 from ssde_tpu.ops.pallas.conv3x3 import conv3x3, fits_conv3x3
 
 CASES = [
-    # (B, H, C, W, Cout, act) — W=131/96 exercise the lane-pad path
+    # (B, H, C, W, Cout, act) — W=131/96 exercise the lane-pad path.
+    # Interpret-mode pallas is slow on 1-core CI hosts: two cases stay in
+    # the fast tier, the rest (larger W / min-H edge) run in the slow tier.
     (2, 6, 8, 128, 16, "none"),
     (1, 5, 4, 131, 8, "elu"),
-    (2, 8, 16, 96, 1, "sigmoid"),
-    (1, 2, 8, 256, 8, "elu"),  # minimum legal H
+    pytest.param(2, 8, 16, 96, 1, "sigmoid", marks=pytest.mark.slow),
+    pytest.param(1, 2, 8, 256, 8, "elu",
+                 marks=pytest.mark.slow),  # minimum legal H
 ]
 
 

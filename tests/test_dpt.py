@@ -48,6 +48,7 @@ def test_attention_capture(model_and_params):
     assert m.shape == (1, gh, gw)
 
 
+@pytest.mark.slow  # full ViT-B backward on CPU
 def test_gradients_reach_all_leaves(model_and_params):
     model, variables = model_and_params
     x = jnp.linspace(0, 1, H * W * 3).reshape(1, H, W, 3)

@@ -76,6 +76,7 @@ def test_dump_xyz_accumulates():
     np.testing.assert_allclose(xyz[-1], [6.0, 0, 0])
 
 
+@pytest.mark.slow  # three jitted runner protocols; ~60 s on a 1-core host
 def test_gru_stream_evaluator(tmp_path):
     """Stateful runners: single / warmup / scene protocols on tiny shapes."""
     import jax

@@ -40,10 +40,11 @@ def _seq_batch(opts):
 
 @pytest.mark.parametrize(
     "version",
-    # v9 (the flagship) stays in the fast tier; the other five wirings
-    # each cost a full XLA:CPU train-step compile -> slow tier
-    ["v9"] + [pytest.param(v, marks=pytest.mark.slow)
-              for v in ("v3", "v4", "v7", "v5", "v8")],
+    # v10 (attention-free, the perf default) is the fast-tier e2e GRU
+    # step; v9 and the other wirings each cost a full XLA:CPU train-step
+    # compile + scan execution -> slow tier
+    ["v10"] + [pytest.param(v, marks=pytest.mark.slow)
+               for v in ("v9", "v3", "v4", "v7", "v5", "v8")],
 )
 def test_gru_train_step(version):
     opts = _gru_opts(version)
