@@ -145,37 +145,163 @@ def _fits_kernel(H, W):
     return H % 8 == 0 and W % 128 == 0 and H * W * 4 * 16 < 14 * 2**20
 
 
+def _block_rows(H, W):
+    """Largest legal row-block height for the H-blocked variant, or None.
+
+    Blocks must divide H, be sublane-aligned (multiple of 8, so the
+    halo slices at BH-8 stay static-aligned), and keep ~22 live
+    (BH+16, W) f32 slabs under the VMEM budget. Serves resolutions the
+    whole-image kernel cannot (e.g. 320x1024, the 1024x320 training
+    config)."""
+    if W % 128 != 0 or H % 8 != 0:
+        return None
+    for bh in range(min(H, 512), 7, -8):
+        if H % bh == 0 and H // bh >= 2 and (bh + 16) * W * 4 * 22 < 14 * 2**20:
+            return bh
+    return None
+
+
+# ------------------------------------------------------------------ blocked
+#
+# H-blocked variant for resolutions whose whole-image maps exceed VMEM
+# (e.g. 320x1024). Grid (G, H/BH); each program reads its row block plus
+# the previous/next blocks (clamped at the image edges, same pattern as
+# conv3x3's row views), assembles a (BH+16, W) slab — 8 halo rows above
+# and below keep every static slice sublane-aligned — and computes the
+# same math with GLOBAL row indices driving the reflect/fold masks, so
+# results are bit-identical to the whole-image kernel.
+
+
+def _slab(prev_ref, cur_ref, next_ref, c, BH):
+    return jnp.concatenate(
+        [prev_ref[0, c, BH - 8:], cur_ref[0, c], next_ref[0, c, :8]], axis=0
+    ).astype(jnp.float32)
+
+
+def _photo_fwd_kernel_blocked(C, BH, H, pp, pc, pn, tp, tc, tn, out_ref):
+    b = pl.program_id(1)
+    W = out_ref.shape[2]
+    S = BH + 16
+    row = lax.broadcasted_iota(jnp.int32, (S, W), 0) + b * BH - 8
+    col = lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    acc = jnp.zeros((BH, W), jnp.float32)
+    for c in range(C):
+        x = _slab(pp, pc, pn, c, BH)
+        y = _slab(tp, tc, tn, c, BH)
+        _, _, u, v, w, z = _ssim_stats(x, y, row, col, H, W)
+        s = jnp.clip((1.0 - (u * v) / (w * z)) * 0.5, 0.0, 1.0)
+        pix = _SSIM_W * s + _L1_W * jnp.abs(x - y)
+        acc = acc + pix[8:BH + 8]
+    out_ref[0] = acc * (1.0 / C)
+
+
+def _photo_bwd_kernel_blocked(C, BH, H, pp, pc, pn, tp, tc, tn,
+                              gp, gc, gn, dpred_ref):
+    b = pl.program_id(1)
+    W = gc.shape[2]
+    S = BH + 16
+    row = lax.broadcasted_iota(jnp.int32, (S, W), 0) + b * BH - 8
+    col = lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    g_slab = jnp.concatenate(
+        [gp[0, BH - 8:], gc[0], gn[0, :8]], axis=0
+    ).astype(jnp.float32) * (1.0 / C)
+    for c in range(C):
+        x = _slab(pp, pc, pn, c, BH)
+        y = _slab(tp, tc, tn, c, BH)
+        mx, my, u, v, w, z = _ssim_stats(x, y, row, col, H, W)
+        n = u * v
+        d = w * z
+        s_raw = (1.0 - n / d) * 0.5
+        live = (s_raw >= 0.0) & (s_raw <= 1.0)
+        inv_d = 1.0 / d
+        gq = jnp.where(live, g_slab, 0.0) * _SSIM_W * (-0.5) * (1.0 / 9.0)
+        t_const = (my * (v - u) - n * inv_d * mx * (z - w)) * inv_d
+        t_y = u * inv_d
+        t_x = n * inv_d * inv_d * w
+        dx = (
+            _adjoint_box3(gq * t_const * 2.0, row, col, H, W)
+            + _adjoint_box3(gq * t_y * 2.0, row, col, H, W) * y
+            - _adjoint_box3(gq * t_x * 2.0, row, col, H, W) * x
+        )
+        dx = dx + g_slab * _L1_W * jnp.sign(x - y)
+        dpred_ref[0, c] = dx[8:BH + 8]
+
+
 def _photo_call(pred_p, targ_p, interpret):
     G, C, H, W = pred_p.shape
     B = targ_p.shape[0]
+    if _fits_kernel(H, W):
+        return pl.pallas_call(
+            functools.partial(_photo_fwd_kernel, C),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
+                pl.BlockSpec((1, C, H, W), lambda g: (g % B, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, W), lambda g: (g, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((G, H, W), jnp.float32),
+            interpret=interpret,
+        )(pred_p, targ_p)
+    BH = _block_rows(H, W)
+    nH = H // BH
+
+    def pv(off, mod=None):
+        if mod is None:
+            return lambda g, b: (g, 0, jnp.clip(b + off, 0, nH - 1), 0)
+        return lambda g, b: (g % mod, 0, jnp.clip(b + off, 0, nH - 1), 0)
+
+    spec = lambda m: pl.BlockSpec((1, C, BH, W), m)
     return pl.pallas_call(
-        functools.partial(_photo_fwd_kernel, C),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((1, C, H, W), lambda g: (g % B, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, H, W), lambda g: (g, 0, 0)),
+        functools.partial(_photo_fwd_kernel_blocked, C, BH, H),
+        grid=(G, nH),
+        in_specs=[spec(pv(o)) for o in (-1, 0, 1)]
+        + [spec(pv(o, B)) for o in (-1, 0, 1)],
+        out_specs=pl.BlockSpec((1, BH, W), lambda g, b: (g, b, 0)),
         out_shape=jax.ShapeDtypeStruct((G, H, W), jnp.float32),
         interpret=interpret,
-    )(pred_p, targ_p)
+    )(pred_p, pred_p, pred_p, targ_p, targ_p, targ_p)
 
 
 def _photo_bwd_call(pred_p, targ_p, g, interpret):
     G, C, H, W = pred_p.shape
     B = targ_p.shape[0]
+    if _fits_kernel(H, W):
+        return pl.pallas_call(
+            functools.partial(_photo_bwd_kernel, C),
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
+                pl.BlockSpec((1, C, H, W), lambda g: (g % B, 0, 0, 0)),
+                pl.BlockSpec((1, H, W), lambda g: (g, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((G, C, H, W), jnp.float32),
+            interpret=interpret,
+        )(pred_p, targ_p, g)
+    BH = _block_rows(H, W)
+    nH = H // BH
+
+    def pv(off, mod=None):
+        if mod is None:
+            return lambda g, b: (g, 0, jnp.clip(b + off, 0, nH - 1), 0)
+        return lambda g, b: (g % mod, 0, jnp.clip(b + off, 0, nH - 1), 0)
+
+    spec4 = lambda m: pl.BlockSpec((1, C, BH, W), m)
+    spec3 = lambda m3: pl.BlockSpec((1, BH, W), m3)
+
+    def gv(off):
+        return lambda g_, b: (g_, jnp.clip(b + off, 0, nH - 1), 0)
+
     return pl.pallas_call(
-        functools.partial(_photo_bwd_kernel, C),
-        grid=(G,),
-        in_specs=[
-            pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
-            pl.BlockSpec((1, C, H, W), lambda g: (g % B, 0, 0, 0)),
-            pl.BlockSpec((1, H, W), lambda g: (g, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, C, H, W), lambda g: (g, 0, 0, 0)),
+        functools.partial(_photo_bwd_kernel_blocked, C, BH, H),
+        grid=(G, nH),
+        in_specs=[spec4(pv(o)) for o in (-1, 0, 1)]
+        + [spec4(pv(o, B)) for o in (-1, 0, 1)]
+        + [spec3(gv(o)) for o in (-1, 0, 1)],
+        out_specs=pl.BlockSpec((1, C, BH, W), lambda g_, b: (g_, 0, b, 0)),
         out_shape=jax.ShapeDtypeStruct((G, C, H, W), jnp.float32),
         interpret=interpret,
-    )(pred_p, targ_p, g)
+    )(pred_p, pred_p, pred_p, targ_p, targ_p, targ_p, g, g, g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -204,8 +330,11 @@ photometric_error_planar.defvjp(_pe_fwd, _pe_bwd)
 
 
 def fits_photometric(H, W):
-    """Static predicate: can the fused kernel serve this resolution?"""
-    return _PALLAS_OK and _fits_kernel(H, W)
+    """Static predicate: can the fused kernel serve this resolution?
+
+    Whole-image kernel for shapes whose maps fit VMEM; H-blocked variant
+    (identical math, global-row masks) for larger images like 320x1024."""
+    return _PALLAS_OK and (_fits_kernel(H, W) or _block_rows(H, W) is not None)
 
 
 def reprojection_loss_pallas(pred, target, interpret: bool = False):

@@ -72,10 +72,44 @@ def test_target_gets_zero_grad(data):
 
 
 def test_fits_predicate():
+    from ssde_tpu.ops.pallas.photometric import _block_rows, _fits_kernel
+
     assert fits_photometric(192, 640)  # KITTI 640x192 flagship
     assert not fits_photometric(190, 640)  # H % 8 != 0
     assert not fits_photometric(192, 630)  # W % 128 != 0
-    assert not fits_photometric(320, 1024)  # exceeds the VMEM budget
+    # 320x1024 (the 1024x320 config) exceeds the whole-image VMEM budget
+    # but is served by the H-blocked variant
+    assert not _fits_kernel(320, 1024)
+    assert _block_rows(320, 1024) is not None
+    assert fits_photometric(320, 1024)
+
+
+def test_blocked_forward_and_vjp_parity(data, monkeypatch):
+    """H-blocked variant == whole-image math (global-row masks, halo slabs).
+
+    Forces the blocked branch on the small test shape by failing the
+    whole-image predicate; BH=8 with nH=2 exercises both edge blocks."""
+    import ssde_tpu.ops.pallas.photometric as pm
+
+    monkeypatch.setattr(pm, "_fits_kernel", lambda h, w: False)
+    assert pm._block_rows(H, W) is not None
+    pred, targ = data
+    ref = _ref(pred, targ)
+    out = reprojection_loss_pallas(pred, targ, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def f_ref(p):
+        return jnp.sum(jnp.sin(_ref(p, targ) * 3.0))
+
+    def f_pal(p):
+        return jnp.sum(jnp.sin(reprojection_loss_pallas(p, targ, True) * 3.0))
+
+    g_ref = jax.grad(f_ref)(pred)
+    g_pal = jax.grad(f_pal)(pred)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=2e-5 * max(scale, 1.0)
+    )
 
 
 def test_compute_losses_fused_path_matches(monkeypatch, rng):
