@@ -87,6 +87,8 @@ def _fwd_kernel(H, W, act, reflect, up_ref, mid_ref, dn_ref, wt_ref,
         res = jnp.where(res > 0, res, jnp.exp(res) - 1.0)
     elif act == "sigmoid":
         res = jax.nn.sigmoid(res)
+    elif act == "tanh":
+        res = jnp.tanh(res)
     out_ref[0, 0] = res.astype(out_ref.dtype)
 
 
@@ -201,7 +203,7 @@ def conv3x3_planar(x, w, b, act: str = "none", interpret: bool = False):
 
     x (B, H, Cin, W); w (3, 3, Cin, Cout) HWIO (same params as the NHWC
     modules); b (Cout,). Returns (B, H, Cout, W). ``act``: "none" | "elu"
-    | "sigmoid". Gradients flow to x, w and b.
+    | "sigmoid" | "tanh". Gradients flow to x, w and b.
     """
     wt = _pack_w(w)
     return _conv_rows(x, wt, jnp.asarray(b).reshape(-1, 1), act, True,
@@ -216,6 +218,8 @@ def _act_grad(act, out, res=None):
         return jnp.where(out > 0, 1.0, out + 1.0)
     if act == "sigmoid":
         return out * (1.0 - out)
+    if act == "tanh":
+        return 1.0 - out * out
     raise ValueError(act)
 
 

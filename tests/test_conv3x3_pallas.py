@@ -22,6 +22,7 @@ CASES = [
     (2, 6, 8, 128, 16, "none"),
     (1, 5, 4, 131, 8, "elu"),
     pytest.param(2, 8, 16, 96, 1, "sigmoid", marks=pytest.mark.slow),
+    pytest.param(2, 6, 8, 128, 8, "tanh", marks=pytest.mark.slow),
     pytest.param(1, 2, 8, 256, 8, "elu",
                  marks=pytest.mark.slow),  # minimum legal H
 ]
@@ -33,6 +34,8 @@ def _ref(x, w, b, act):
         out = jax.nn.elu(out)
     elif act == "sigmoid":
         out = jax.nn.sigmoid(out)
+    elif act == "tanh":
+        out = jnp.tanh(out)
     return jnp.transpose(out, (0, 1, 3, 2))
 
 
