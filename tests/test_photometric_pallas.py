@@ -145,3 +145,26 @@ def test_compute_losses_fused_path_matches(monkeypatch, rng):
         np.testing.assert_allclose(
             float(fused[k]), float(base[k]), atol=3e-6,
             err_msg=f"loss key {k}")
+
+
+def test_blocked_interior_block_parity(monkeypatch, rng):
+    """nH=3: the middle block has REAL prev and next neighbors (the
+    edge-clamped views of the nH=2 case never exercise that)."""
+    import ssde_tpu.ops.pallas.photometric as pm
+
+    monkeypatch.setattr(pm, "_fits_kernel", lambda h, w: False)
+    h = 24  # BH=8 -> 3 blocks
+    assert pm._block_rows(h, W) == 8
+    pred = jnp.asarray(rng.rand(B, h, W, C).astype(np.float32))
+    targ = jnp.asarray(rng.rand(B, h, W, C).astype(np.float32))
+    ref = reprojection_loss(pred, targ)
+    out = reprojection_loss_pallas(pred, targ, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g_ref = jax.grad(
+        lambda p: jnp.sum(jnp.sin(reprojection_loss(p, targ) * 3.0)))(pred)
+    g_pal = jax.grad(lambda p: jnp.sum(jnp.sin(
+        reprojection_loss_pallas(p, targ, True) * 3.0)))(pred)
+    scale = float(jnp.max(jnp.abs(g_ref)))
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=2e-5 * max(scale, 1.0)
+    )
