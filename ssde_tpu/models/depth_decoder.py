@@ -31,9 +31,12 @@ NUM_CH_DEC = (16, 32, 64, 128, 256)
 
 
 def _planar_enabled():
-    # opt-in until the Pallas kernel is re-validated on the real chip after
-    # every Mosaic-facing change (SSDE_PLANAR_DECODER=1); interpret-mode
-    # tests force it on
+    # OPT-IN (SSDE_PLANAR_DECODER=1). Validated on the real chip (parity vs
+    # the NHWC path and vs f64 ground truth), and faster at small batch
+    # (decoder fwd+bwd 9.5 -> 7.2 ms at B=16) — but the per-(b,h)-row grid
+    # does not amortize with batch (B=48: 14.5 vs 28.5 ms, full-step bench
+    # 199 -> 158 samples/s), so the XLA path stays the default until the
+    # kernel is row/batch-blocked. Interpret-mode tests force it on.
     if os.environ.get("SSDE_PLANAR_DECODER") is not None:
         return os.environ["SSDE_PLANAR_DECODER"] not in ("0", "false")
     return bool(os.environ.get("SSDE_CONV_INTERPRET"))
