@@ -123,6 +123,14 @@ class Options:
     # only) | "pallas" (per-pair kernel) | "mxu" (XLA one-hot einsum) |
     # "gather" (XLA gather, f32-exact)
     warp_backend: str = "auto"
+    # vertical band height of the banded warp kernel (multiple of 8, min 16).
+    # Kernel VPU work scales ~linearly with it; the per-output-row source-y
+    # span budget is vband - 9 pixels. KITTI reprojection spans are ~1-3 px
+    # (16 and 40 agree exactly on bench grids); rows beyond the budget clamp
+    # to the band edge and warp/band_violation in the losses dict reports
+    # the violating fraction — raise vband if it is sustained non-zero.
+    # Measured B=48 warp fwd+bwd: vband 40 = 85.5 ms, 24 = 65.2, 16 = 47.7.
+    warp_vband: int = 16
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False
     # capture a jax.profiler trace of N training steps into <log_dir>/profile

@@ -44,14 +44,14 @@ try:
 except ImportError:  # pragma: no cover
     _PALLAS_OK = False
 
-VBAND = 40      # source rows per band (min y0 aligned down to 8 sublanes)
+VBAND = 40      # default source rows per band (min y0 aligned down to 8)
 TW = 128        # output columns per tile (one vreg)
 # horizontal taps come from the 3 STATIC neighbor column-tiles (t-1, t,
 # t+1) with membership masks: valid iff x0 - t*TW is in [-TW, 2*TW - 2]
 YSPAN = VBAND - 9   # per-row y-span budget (band minus 8-alignment slack)
 
 
-def _banded_kernel(C: int, H: int, W: int, chunk: int,
+def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
                    fx_ref, fy_ref, img_ref, out_ref, rdx_ref, rdy_ref):
     Wo = fx_ref.shape[-1]
     n_tiles = Wo // TW
@@ -68,11 +68,11 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int,
     for k in range(chunk):
         yk = y0[k:k + 1, :]                            # (1, Wo)
         # dynamic sublane offsets must be multiples of 8 (Mosaic)
-        ymin = (jnp.minimum(jnp.min(yk), H - VBAND) // 8) * 8
+        ymin = (jnp.minimum(jnp.min(yk), H - vband) // 8) * 8
         # rows beyond the band clamp to its edge (bounded error; the
         # wrapper's violation monitor tracks how often this fires)
-        ys = jnp.clip(yk - ymin, 0, VBAND - 2)
-        iota_v = lax.broadcasted_iota(jnp.int32, (VBAND, TW), 0)
+        ys = jnp.clip(yk - ymin, 0, vband - 2)
+        iota_v = lax.broadcasted_iota(jnp.int32, (vband, TW), 0)
 
         for t in range(n_tiles):
             sl = slice(t * TW, (t + 1) * TW)
@@ -81,7 +81,7 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int,
             wyt = wy[k:k + 1, sl]
             yst = ys[0:1, sl]
 
-            m0 = (iota_v == yst).astype(jnp.float32)   # (VBAND, TW)
+            m0 = (iota_v == yst).astype(jnp.float32)   # (vband, TW)
             m1 = (iota_v == yst + 1).astype(jnp.float32)
             vyw = m0 * (1.0 - wyt) + m1 * wyt
             vyd = m1 - m0
@@ -97,17 +97,17 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int,
                     r = rel + tap
                     per_tap.append((
                         jnp.broadcast_to((r >= 0) & (r <= TW - 1),
-                                         (VBAND, TW)),
+                                         (vband, TW)),
                         jnp.broadcast_to(jnp.clip(r, 0, TW - 1),
-                                         (VBAND, TW)),
+                                         (vband, TW)),
                     ))
                 masks.append(per_tap)
             for c in range(C):
                 # gather requires 32-bit data (idx/result bitwidth match)
-                a0 = jnp.zeros((VBAND, TW), jnp.float32)
-                a1 = jnp.zeros((VBAND, TW), jnp.float32)
+                a0 = jnp.zeros((vband, TW), jnp.float32)
+                a1 = jnp.zeros((vband, TW), jnp.float32)
                 for w, per_tap in zip(windows, masks):
-                    win = img_ref[0, c, pl.ds(ymin, VBAND),
+                    win = img_ref[0, c, pl.ds(ymin, vband),
                                   w * TW:(w + 1) * TW].astype(jnp.float32)
                     (ok0, idx0), (ok1, idx1) = per_tap
                     a0 = jnp.where(ok0, jnp.take_along_axis(win, idx0, axis=1), a0)
@@ -134,7 +134,7 @@ def _unnormalize_clamped(grid, H, W, align_corners):
     return jnp.clip(fx, 0.0, W - 1), jnp.clip(fy, 0.0, H - 1)
 
 
-def _taps_banded_pallas(img, fx, fy, S, chunk, interpret):
+def _taps_banded_pallas(img, fx, fy, S, chunk, interpret, vband):
     """Kernel invocation. fx/fy (B*S, Ho, Wo); img (B, H, W, C).
 
     Returns (out, rdx, rdy) each (B*S, C, Ho, Wo) f32.
@@ -152,7 +152,7 @@ def _taps_banded_pallas(img, fx, fy, S, chunk, interpret):
     # halves their HBM footprint and write/read traffic
     res_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.bfloat16)
 
-    kernel = functools.partial(_banded_kernel, C, H, W, chunk)
+    kernel = functools.partial(_banded_kernel, C, H, W, chunk, vband)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -193,10 +193,10 @@ def _taps_mxu_reference(img, grids, align_corners):
 
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def grid_sample_banded(img, grids, align_corners: bool = False,
                        chunk: int = 8, interpret: bool = False,
-                       strict: bool = False):
+                       strict: bool = False, vband: int = VBAND):
     """Warp one source with S coordinate fields; banded Pallas fast path.
 
     img (B, H, W, C); grids (B, S, Ho, Wo, 2) in [-1, 1].
@@ -209,12 +209,20 @@ def grid_sample_banded(img, grids, align_corners: bool = False,
     conditional so that both branches execute (measured 231 -> 140 ms per
     train step after removing it). Violating rows clamp to the band edge;
     monitor with :func:`band_violation_fraction`.
+
+    ``vband`` (multiple of 8) sets the vertical band height: per-row
+    in-kernel VPU work (gathers, masks, reductions) scales ~linearly with
+    it, and the per-output-row source-y span budget is ``vband - 9``
+    (8-alignment slack + the 2-tap edge). KITTI reprojection spans are a
+    few pixels; the training default trades the unused budget for speed.
     """
-    out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret, strict)
+    out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret, strict,
+                      vband)
     return out
 
 
-def band_violation_fraction(img_shape, grids, align_corners: bool = False):
+def band_violation_fraction(img_shape, grids, align_corners: bool = False,
+                            vband: int = VBAND):
     """Fraction of kernel work units whose coordinates break a band budget.
 
     Checks BOTH approximation sources of the banded kernel: output rows
@@ -229,7 +237,7 @@ def band_violation_fraction(img_shape, grids, align_corners: bool = False):
     fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
     y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
     span = jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)
-    bad_y = span > YSPAN
+    bad_y = span > vband - 9
     x0 = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
     Wo = x0.shape[-1]
     n_tiles = max(Wo // TW, 1)
@@ -241,20 +249,21 @@ def band_violation_fraction(img_shape, grids, align_corners: bool = False):
     return jnp.mean(bad.astype(jnp.float32))
 
 
-def _gsb_fwd(img, grids, align_corners, chunk, interpret, strict=False):
+def _gsb_fwd(img, grids, align_corners, chunk, interpret, strict=False,
+             vband=VBAND):
     B, H, W, C = img.shape
     _, S, Ho, Wo, _ = grids.shape
     if chunk % 8 or Ho % chunk:
         chunk = Ho if Ho % 8 else 8
 
-    if strict or not _PALLAS_OK or H < VBAND or W < TW or Wo % TW:
+    if strict or not _PALLAS_OK or H < vband or W < TW or Wo % TW:
         # exact MXU path (strict callers / geometry the kernel can't serve)
         out_p, rdx_p, rdy_p = _taps_mxu_reference(img, grids, align_corners)
     else:
         fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
         out_p, rdx_p, rdy_p = _taps_banded_pallas(
             img, fx.reshape(B * S, Ho, Wo), fy.reshape(B * S, Ho, Wo),
-            S, chunk, interpret)
+            S, chunk, interpret, vband)
 
     def to_nhwc(t):  # (B*S, C, Ho, Wo) -> (B, S, Ho, Wo, C)
         return t.reshape(B, S, C, Ho, Wo).transpose(0, 1, 3, 4, 2)
@@ -281,7 +290,7 @@ def _grad_masks(grids, H, W, align_corners):
     return in_x, in_y
 
 
-def _gsb_bwd(align_corners, chunk, interpret, strict, res, dout):
+def _gsb_bwd(align_corners, chunk, interpret, strict, vband, res, dout):
     rdx, rdy, grids, img_spec = res
     _, H, W, _ = img_spec.shape
     dout = dout.astype(jnp.float32)

@@ -14,6 +14,7 @@ and parameters stay float32.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
@@ -297,6 +298,9 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
         else:
             from ..ops.pallas.warp_gather import grid_sample_family as fam
 
+        if backend == "banded":
+            vband = max((getattr(opts, "warp_vband", 24) // 8) * 8, 16)
+            fam = functools.partial(fam, vband=vband)
         by_src = {}
         for scale, f, src, pix in pairs:
             by_src.setdefault(f, (src, []))[1].append((scale, pix))
@@ -309,7 +313,9 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
                 # approximation budgets (see warp_banded docstring)
                 from ..ops.pallas.warp_banded import band_violation_fraction
 
-                viol = viol + band_violation_fraction(src.shape, grids)
+                viol = viol + band_violation_fraction(
+                    src.shape, grids,
+                    vband=vband if backend == "banded" else 40)
             for i, (scale, _) in enumerate(items):
                 outputs[f"color/{f}/{scale}"] = outs[:, i]
         if backend in ("banded", "onehot"):

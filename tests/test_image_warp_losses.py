@@ -310,6 +310,12 @@ def test_grid_sample_banded_interpret(rng):
     ref = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid)))
     np.testing.assert_allclose(outs[:, 0], ref, atol=2e-2)
 
+    # the narrow training band (vband=16, span budget 7) agrees too
+    assert float(band_violation_fraction(img.shape, grids, vband=16)) == 0.0
+    outs16 = np.asarray(grid_sample_banded(jnp.asarray(img), grids,
+                                           False, 8, True, False, 16))
+    np.testing.assert_allclose(outs16, outs, atol=1e-6)
+
     wild = jnp.asarray(
         (rng.rand(B, 1, H, W, 2).astype(np.float32) * 2.4 - 1.2))
     assert float(band_violation_fraction(img.shape, wild)) > 0
