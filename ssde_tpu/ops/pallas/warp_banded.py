@@ -134,10 +134,13 @@ def _unnormalize_clamped(grid, H, W, align_corners):
     return jnp.clip(fx, 0.0, W - 1), jnp.clip(fy, 0.0, H - 1)
 
 
-def _taps_banded_pallas(img, fx, fy, S, chunk, interpret, vband):
+def _taps_banded_pallas(img, fx, fy, S, chunk, interpret, vband,
+                        smajor: bool = False):
     """Kernel invocation. fx/fy (B*S, Ho, Wo); img (B, H, W, C).
 
-    Returns (out, rdx, rdy) each (B*S, C, Ho, Wo) f32.
+    Returns (out, rdx, rdy) each (B*S, C, Ho, Wo) f32. ``smajor`` selects
+    the scale-major G ordering (g = s*B + b, used by the planar variant)
+    instead of the default batch-major one (g = b*S + s).
     """
     B, H, W, C = img.shape
     G, Ho, Wo = fx.shape
@@ -145,7 +148,10 @@ def _taps_banded_pallas(img, fx, fy, S, chunk, interpret, vband):
 
     grid = (G, Ho // chunk)
     coord_spec = pl.BlockSpec((1, chunk, Wo), lambda g, r: (g, r, 0))
-    img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g // S, 0, 0, 0))
+    if smajor:
+        img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g % B, 0, 0, 0))
+    else:
+        img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g // S, 0, 0, 0))
     out_spec = pl.BlockSpec((1, C, chunk, Wo), lambda g, r: (g, 0, r, 0))
     out_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.float32)
     # residuals only feed the pose/disp gradient dot in the bwd: bf16
@@ -222,7 +228,7 @@ def grid_sample_banded(img, grids, align_corners: bool = False,
 
 
 def band_violation_fraction(img_shape, grids, align_corners: bool = False,
-                            vband: int = VBAND):
+                            vband: int = VBAND, row_stride: int = 1):
     """Fraction of kernel work units whose coordinates break a band budget.
 
     Checks BOTH approximation sources of the banded kernel: output rows
@@ -232,8 +238,16 @@ def band_violation_fraction(img_shape, grids, align_corners: bool = False,
     (modulo bf16 taps); training logs this as ``warp/band_violation``
     — a sustained non-zero value means switch to ``strict=True`` (or the
     ``mxu`` backend) for that data distribution.
+
+    ``row_stride`` checks every Nth output row only (each checked row is
+    exact). The full-res check read all grids back from HBM and cost
+    ~8 ms of a 199 ms B=48 train step; violations come from the pose /
+    depth *distribution*, never a single isolated row, so the training
+    monitor samples rows at stride 4.
     """
     _, H, W, _ = img_shape
+    if row_stride > 1:
+        grids = grids[..., ::row_stride, :, :]
     fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
     y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
     span = jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)
@@ -302,3 +316,63 @@ def _gsb_bwd(align_corners, chunk, interpret, strict, vband, res, dout):
 
 
 grid_sample_banded.defvjp(_gsb_fwd, _gsb_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grid_sample_banded_planar(img, grids, align_corners: bool = False,
+                              chunk: int = 8, interpret: bool = False,
+                              vband: int = VBAND):
+    """Banded warp emitting the kernel's native planar layout.
+
+    img (B, H, W, C); grids (S, B, Ho, Wo, 2) scale-major. Returns
+    (S*B, C, Ho, Wo) f32 with g = s*B + b — exactly the layout the fused
+    Pallas photometric kernel consumes, so the training loss path skips
+    the planar->NHWC->planar round-trip (~1.1 GB of HBM transposes per
+    step at B=48). Same band semantics/monitoring as grid_sample_banded.
+    """
+    out, _ = _gsbp_fwd(img, grids, align_corners, chunk, interpret, vband)
+    return out
+
+
+def _gsbp_fwd(img, grids, align_corners, chunk, interpret, vband):
+    B, H, W, C = img.shape
+    S, _, Ho, Wo, _ = grids.shape
+    if chunk % 8 or Ho % chunk:
+        chunk = Ho if Ho % 8 else 8
+
+    if not _PALLAS_OK or H < vband or W < TW or Wo % TW:
+        # exact fallback: NHWC reference taps, repacked to the planar
+        # contract (CPU parity tests / geometry the kernel can't serve)
+        out_b, rdx_b, rdy_b = _taps_mxu_reference(
+            img, grids.transpose(1, 0, 2, 3, 4), align_corners)
+
+        def to_smajor(t):  # (B*S, C, Ho, Wo) b-major -> (S*B, ...) s-major
+            return t.reshape(B, S, C, Ho, Wo).transpose(1, 0, 2, 3, 4) \
+                .reshape(S * B, C, Ho, Wo)
+
+        out_p, rdx_p, rdy_p = map(to_smajor, (out_b, rdx_b, rdy_b))
+    else:
+        fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
+        out_p, rdx_p, rdy_p = _taps_banded_pallas(
+            img, fx.reshape(S * B, Ho, Wo), fy.reshape(S * B, Ho, Wo),
+            S, chunk, interpret, vband, smajor=True)
+
+    res = (rdx_p, rdy_p, grids, jax.ShapeDtypeStruct(img.shape, img.dtype))
+    return out_p, res
+
+
+def _gsbp_bwd(align_corners, chunk, interpret, vband, res, dout):
+    rdx, rdy, grids, img_spec = res
+    _, H, W, _ = img_spec.shape
+    S, B, Ho, Wo, _ = grids.shape
+    dout = dout.astype(jnp.float32)
+    in_x, in_y = _grad_masks(grids, H, W, align_corners)
+    dwx = jnp.sum(dout * rdx.astype(jnp.float32), axis=1).reshape(
+        S, B, Ho, Wo)
+    dwy = jnp.sum(dout * rdy.astype(jnp.float32), axis=1).reshape(
+        S, B, Ho, Wo)
+    dgrids = jnp.stack([dwx * in_x, dwy * in_y], axis=-1)
+    return jnp.zeros(img_spec.shape, img_spec.dtype), dgrids
+
+
+grid_sample_banded_planar.defvjp(_gsbp_fwd, _gsbp_bwd)

@@ -300,14 +300,32 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
 
         if backend == "banded":
             vband = max((getattr(opts, "warp_vband", 24) // 8) * 8, 16)
-            fam = functools.partial(fam, vband=vband)
         by_src = {}
         for scale, f, src, pix in pairs:
             by_src.setdefault(f, (src, []))[1].append((scale, pix))
         viol = 0.0
         for f, (src, items) in by_src.items():
-            grids = jnp.stack([pix for _, pix in items], axis=1)
-            outs = fam(src, grids)
+            if backend == "banded":
+                # planar fast path: the kernel's native (S*B, C, H, W)
+                # output feeds the fused photometric kernel directly; the
+                # per-scale NHWC views below materialize only if consumed
+                # (logging / non-fused loss), so training skips the
+                # planar->NHWC->planar round-trip entirely
+                from ..ops.pallas.warp_banded import grid_sample_banded_planar
+
+                grids = jnp.stack([pix for _, pix in items], axis=0)
+                outs_p = grid_sample_banded_planar(src, grids, vband=vband)
+                B = src.shape[0]
+                # scale index within outs_p follows opts.scales order
+                outputs[f"color_planar/{f}"] = outs_p
+                for i, (scale, _) in enumerate(items):
+                    outputs[f"color/{f}/{scale}"] = outs_p[
+                        i * B:(i + 1) * B].transpose(0, 2, 3, 1)
+            else:
+                grids = jnp.stack([pix for _, pix in items], axis=1)
+                outs = fam(src, grids)
+                for i, (scale, _) in enumerate(items):
+                    outputs[f"color/{f}/{scale}"] = outs[:, i]
             if backend in ("banded", "onehot"):
                 # cheap reduction monitoring the banded kernels'
                 # approximation budgets (see warp_banded docstring)
@@ -315,9 +333,8 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
 
                 viol = viol + band_violation_fraction(
                     src.shape, grids,
-                    vband=vband if backend == "banded" else 40)
-            for i, (scale, _) in enumerate(items):
-                outputs[f"color/{f}/{scale}"] = outs[:, i]
+                    vband=vband if backend == "banded" else 40,
+                    row_stride=4)
         if backend in ("banded", "onehot"):
             outputs["warp/band_violation"] = viol / len(by_src)
         return outputs
@@ -405,18 +422,42 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
                 preds, jnp.tile(target0, (n, 1, 1, 1)), opts.no_ssim
             )
 
-        preds_all = jnp.concatenate(
-            [outputs[f"color/{f}/{s}"].astype(jnp.float32)
-             for s in opts.scales for f in source_ids],
-            axis=0,
+        planar_ok = fused in ("pallas", "interpret") and all(
+            f"color_planar/{f}" in outputs for f in source_ids
         )
-        rep_all = rep(preds_all, S * F)
-        for i, s in enumerate(opts.scales):
-            rep_by_scale[s] = jnp.concatenate(
-                [rep_all[(i * F + j) * B:(i * F + j + 1) * B]
-                 for j in range(F)],
-                axis=-1,
+        if planar_ok:
+            # planar fast path: the banded warp already emitted
+            # (S*B, C, H, W) scale-major per source — concatenate along G
+            # (frame-major: g = (j*S + i)*B + b) and feed the fused kernel
+            # directly, skipping the NHWC round-trip
+            from ..ops.pallas.photometric import photometric_error_planar
+
+            preds_p = jnp.concatenate(
+                [outputs[f"color_planar/{f}"] for f in source_ids], axis=0
             )
+            targ_p = target0.transpose(0, 3, 1, 2)
+            rep_all = photometric_error_planar(
+                preds_p, targ_p, interpret=(fused == "interpret")
+            )[..., None]
+            for i, s in enumerate(opts.scales):
+                rep_by_scale[s] = jnp.concatenate(
+                    [rep_all[(j * S + i) * B:(j * S + i + 1) * B]
+                     for j in range(F)],
+                    axis=-1,
+                )
+        else:
+            preds_all = jnp.concatenate(
+                [outputs[f"color/{f}/{s}"].astype(jnp.float32)
+                 for s in opts.scales for f in source_ids],
+                axis=0,
+            )
+            rep_all = rep(preds_all, S * F)
+            for i, s in enumerate(opts.scales):
+                rep_by_scale[s] = jnp.concatenate(
+                    [rep_all[(i * F + j) * B:(i * F + j + 1) * B]
+                     for j in range(F)],
+                    axis=-1,
+                )
         if not opts.disable_automasking:
             idents_all = jnp.concatenate(
                 [inputs[f"color/{f}/0"].astype(jnp.float32)

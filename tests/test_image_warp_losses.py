@@ -325,6 +325,75 @@ def test_grid_sample_banded_interpret(rng):
     np.testing.assert_allclose(outs_w[:, 0], ref_w, atol=2e-2)
 
 
+def test_grid_sample_banded_planar_interpret(rng):
+    """Planar (scale-major) banded warp == NHWC banded warp, value + grad."""
+    from ssde_tpu.ops.pallas.warp_banded import (
+        grid_sample_banded,
+        grid_sample_banded_planar,
+    )
+
+    B, S, H, W = 2, 3, 64, 128
+    img = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    gx = (2 * (xs + 0.5) / W - 1)[None, None] + rng.randn(B, S, H, W) * 0.02
+    gy = (2 * (ys + 0.5) / H - 1)[None, None] + rng.randn(B, S, H, W) * 0.02
+    grids_bs = jnp.asarray(np.stack([gx, gy], -1).astype(np.float32))
+    grids_sb = grids_bs.transpose(1, 0, 2, 3, 4)
+
+    out_n = grid_sample_banded(img, grids_bs, False, 8, True)   # (B,S,H,W,C)
+    out_p = grid_sample_banded_planar(img, grids_sb, False, 8, True)
+    ref = np.asarray(out_n).transpose(1, 0, 4, 2, 3).reshape(S * B, 3, H, W)
+    np.testing.assert_allclose(np.asarray(out_p), ref, atol=1e-6)
+
+    g_n = jax.grad(lambda g: jnp.sum(
+        grid_sample_banded(img, g, False, 8, True) ** 2))(grids_bs)
+    g_p = jax.grad(lambda g: jnp.sum(
+        grid_sample_banded_planar(img, g, False, 8, True) ** 2))(grids_sb)
+    np.testing.assert_allclose(np.asarray(g_p),
+                               np.asarray(g_n).transpose(1, 0, 2, 3, 4),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_compute_losses_planar_reindex(rng, monkeypatch):
+    """The planar fused-loss path slices rep_all back to the same
+    per-scale reprojection maps as the NHWC path."""
+    from ssde_tpu.config import Options
+    from ssde_tpu.train.steps import compute_losses
+
+    monkeypatch.setenv("SSDE_PHOTO_INTERPRET", "1")
+    B, H, W = 2, 32, 128  # W=128 satisfies fits_photometric lane tiling
+    opts = Options(height=H, width=W, batch_size=B, scales=[0, 1],
+                   compute_dtype="float32", use_pallas=True)
+    source_ids = [-1, 1]
+    inputs = {}
+    for f in (0, -1, 1):
+        inputs[f"color/{f}/0"] = jnp.asarray(
+            rng.rand(B, H, W, 3).astype(np.float32))
+    outputs = {}
+    for s in opts.scales:
+        outputs[f"disp/{s}"] = jnp.asarray(
+            rng.rand(B, H // 2 ** s, W // 2 ** s, 1).astype(np.float32) * 0.5)
+        inputs[f"color/0/{s}"] = jnp.asarray(
+            rng.rand(B, H // 2 ** s, W // 2 ** s, 3).astype(np.float32))
+        for f in source_ids:
+            outputs[f"color/{f}/{s}"] = jnp.asarray(
+                rng.rand(B, H, W, 3).astype(np.float32))
+
+    l_nhwc = compute_losses(inputs, dict(outputs), opts, source_ids)
+
+    S = len(opts.scales)
+    for f in source_ids:  # planar twins of the same warped colors
+        outputs[f"color_planar/{f}"] = jnp.concatenate(
+            [outputs[f"color/{f}/{s}"].transpose(0, 3, 1, 2)
+             for s in opts.scales], axis=0)
+    l_planar = compute_losses(inputs, outputs, opts, source_ids)
+    np.testing.assert_allclose(float(l_planar["loss"]),
+                               float(l_nhwc["loss"]), rtol=1e-5)
+    for s in opts.scales:
+        np.testing.assert_allclose(float(l_planar[f"loss/{s}"]),
+                                   float(l_nhwc[f"loss/{s}"]), rtol=1e-5)
+
+
 def test_grid_sample_banded_grad_interpret(rng):
     from ssde_tpu.ops.pallas.warp_banded import grid_sample_banded
     from ssde_tpu.ops.warp import grid_sample_mxu
