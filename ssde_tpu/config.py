@@ -131,6 +131,12 @@ class Options:
     # the violating fraction — raise vband if it is sustained non-zero.
     # Measured B=48 warp fwd+bwd: vband 40 = 85.5 ms, 24 = 65.2, 16 = 47.7.
     warp_vband: int = 16
+    # rematerialization of the GRU sequence step in the backward pass:
+    # "1" remats the B*T-frame encoder/decoder AND the scan body, "scan"
+    # remats the scan body only (the scan MUST remat — without it XLA
+    # stacks every cell intermediate over T and OOMs a 16 GB chip even
+    # at B=8,T=3), "0" nothing, "auto" = "scan" for B*T <= 32 else "1".
+    gru_remat: str = "auto"
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False
     # capture a jax.profiler trace of N training steps into <log_dir>/profile

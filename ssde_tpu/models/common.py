@@ -7,6 +7,7 @@ here each exists once, parameterized.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -173,21 +174,38 @@ class ConvBlock(nn.Module):
 
 
 class ResidualConvUnit(nn.Module):
-    """relu-conv-relu-conv + skip (reference networks/fusion_v2.py:11-43)."""
+    """relu-conv-relu-conv + skip (reference networks/fusion_v2.py:11-43).
+
+    ``planar=True`` takes/returns chain-padded planar (B, H, C, W) tensors
+    with logical width ``wl`` (see ops/pallas/conv3x3.conv3x3_zero_chain)
+    and runs both convs as fused Pallas kernels; parameters are identical
+    to the NHWC path (explicit kernels with nn.Conv's tree layout).
+    """
 
     features: int
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, planar: bool = False, wl: int = 0):
+        cin = x.shape[2] if planar else x.shape[-1]
+        k1, b1 = _ConvParams((3, 3, cin, self.features), name="conv1")()
+        k2, b2 = _ConvParams((3, 3, self.features, self.features),
+                             name="conv2")()
+        if self.dtype is not None:
+            x, k1, b1, k2, b2 = (t.astype(self.dtype)
+                                 for t in (x, k1, b1, k2, b2))
         # inplace-relu aliasing in the reference: the residual adds relu(x),
         # not x (fusion_v2.py:29-43) — kept for checkpoint parity
         r = nn.relu(x)
-        out = nn.Conv(
-            self.features, (3, 3), padding=1, dtype=self.dtype, name="conv1"
-        )(r)
-        out = nn.relu(out)
-        out = nn.Conv(
-            self.features, (3, 3), padding=1, dtype=self.dtype, name="conv2"
-        )(out)
-        return out + r
+        if planar:
+            from ..ops.pallas.conv3x3 import conv3x3_zero_chain
+
+            interp = bool(os.environ.get("SSDE_CONV_INTERPRET"))
+            wl = wl or x.shape[3]
+            out = conv3x3_zero_chain(r, k1, b1, "relu", wl=wl,
+                                     interpret=interp)
+            out = conv3x3_zero_chain(out, k2, b2, "none", wl=wl,
+                                     interpret=interp)
+            return out + r
+        out = nn.relu(conv_same_nhwc(r, k1, b1))
+        return conv_same_nhwc(out, k2, b2) + r

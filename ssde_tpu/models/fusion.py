@@ -20,7 +20,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.image import pixel_shuffle, resize_bilinear
+from ..ops.image import pixel_shuffle, pixel_shuffle_planar, resize_bilinear
 from .attention import ResidualAttentionUnit
 from .common import Conv3x3, ResidualConvUnit
 
@@ -45,10 +45,13 @@ class UpscalePS(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, planar: bool = False):
         if self.use_conv:
+            assert not planar
             x = nn.Conv(self.output_ch * self.scale**2, (3, 3), padding=1,
                         dtype=self.dtype, name="conv")(x)
+        if planar:
+            return pixel_shuffle_planar(jnp.tanh(x), self.scale)
         return pixel_shuffle(jnp.tanh(x), self.scale)
 
 
@@ -223,8 +226,28 @@ class GRUFusionBlock_v2(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, input_1, input_2):
+    def __call__(self, input_1, input_2, planar: bool = False, wl: int = 0):
         f = self.features
+        if planar:
+            # chain-padded planar fast path (attention-free wiring only):
+            # inputs (B, H, C, W) with logical width wl; disp returns NHWC,
+            # `up` returns PLANAR at logical width 2*wl
+            assert not self.attention
+            wl = wl or input_1.shape[3]
+            pre = ResidualConvUnit(f, dtype=self.dtype, name="resConfUnit1")(
+                input_1, planar=True, wl=wl)
+            pre = pre + input_2
+            r2 = ResidualConvUnit(f, dtype=self.dtype, name="resConfUnit2")(
+                pre, planar=True, wl=wl)
+            if wl != r2.shape[3]:
+                r2 = r2[..., :wl]
+            out = Conv3x3(1, dtype=self.dtype, name="conv3x3")(
+                r2, planar=True, act="sigmoid").transpose(0, 1, 3, 2)
+            if self.up:
+                return out, UpscalePS(use_conv=False, scale=2,
+                                      dtype=self.dtype, name="upscale")(
+                    nn.relu(pre), planar=True)
+            return out
         pre = _rcu(f, self.attention, False, self.dtype, "resConfUnit1")(input_1)
         pre = pre + input_2
         out = nn.sigmoid(

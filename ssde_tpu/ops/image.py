@@ -74,6 +74,21 @@ def pixel_shuffle(x, scale: int):
     return x.reshape(B, H * r, W * r, c_out)
 
 
+def pixel_shuffle_planar(x, scale: int):
+    """:func:`pixel_shuffle` on planar (B, H, C, W) tensors.
+
+    Identical channel ordering (torch NCHW (C_out, r, r) interpretation);
+    a W-padded chain tensor with logical width wl maps to logical width
+    wl * r — the fill columns stay contiguous at the right edge.
+    """
+    B, H, C, W = x.shape
+    r = scale
+    c_out = C // (r * r)
+    x = x.reshape(B, H, c_out, r, r, W)
+    x = x.transpose(0, 1, 3, 2, 5, 4)  # B, H, r, c_out, W, r
+    return x.reshape(B, H * r, c_out, W * r)
+
+
 def reflect_pad_2d(x, pad: int = 1):
     """Reflection-pad H and W (reference: nn.ReflectionPad2d, layers.py:128)."""
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")

@@ -37,23 +37,29 @@ except ImportError:  # pragma: no cover
     _PALLAS_OK = False
 
 
-def _shift_w(x, dx, W, reflect: bool):
-    """Value at column c of the dx-shifted row stack (x is (K, W))."""
+def _shift_w(x, dx, W, reflect: bool, wl: int):
+    """Value at column c of the dx-shifted row stack (x is (K, W)).
+
+    ``wl`` is the LOGICAL width: the right boundary behaves as if the
+    tensor were wl columns wide (columns wl..W-1 are zero fill, see
+    the chain-padding contract in :func:`conv3x3_zero_chain`). Callers
+    without fill pass wl == W.
+    """
     col = lax.broadcasted_iota(jnp.int32, x.shape, 1)
     if dx == -1:  # reads column c-1; col 0 reads -1 -> reflect 1 / zero
         rolled = pltpu.roll(x, 1, 1)
         if reflect:
             return jnp.where(col == 0, pltpu.roll(x, W - 1, 1), rolled)
         return jnp.where(col == 0, jnp.zeros_like(x), rolled)
-    if dx == 1:  # reads column c+1; col W-1 reads W -> reflect W-2 / zero
+    if dx == 1:  # reads column c+1; col wl-1 reads wl -> reflect wl-2 / zero
         rolled = pltpu.roll(x, W - 1, 1)
         if reflect:
-            return jnp.where(col == W - 1, pltpu.roll(x, 1, 1), rolled)
-        return jnp.where(col == W - 1, jnp.zeros_like(x), rolled)
+            return jnp.where(col == wl - 1, pltpu.roll(x, 1, 1), rolled)
+        return jnp.where(col == wl - 1, jnp.zeros_like(x), rolled)
     return x
 
 
-def _tap_stack(up, mid, dn, h, H, W, reflect: bool):
+def _tap_stack(up, mid, dn, h, H, W, reflect: bool, wl: int):
     """(9*Cin, W) im2col stack for one output row, dx-major / dy-minor.
 
     The stack is built and contracted in f32: Mosaic's rotate is 32-bit
@@ -66,15 +72,15 @@ def _tap_stack(up, mid, dn, h, H, W, reflect: bool):
         dn = jnp.where(h == H - 1, jnp.zeros_like(dn), dn)
     band3 = jnp.concatenate([up, mid, dn], axis=0).astype(jnp.float32)
     return jnp.concatenate(
-        [_shift_w(band3, dx, W, reflect) for dx in (-1, 0, 1)], axis=0
+        [_shift_w(band3, dx, W, reflect, wl) for dx in (-1, 0, 1)], axis=0
     )
 
 
-def _fwd_kernel(H, W, act, reflect, up_ref, mid_ref, dn_ref, wt_ref,
+def _fwd_kernel(H, W, act, reflect, wl, up_ref, mid_ref, dn_ref, wt_ref,
                 b_ref, out_ref):
     h = pl.program_id(1)
     x_col = _tap_stack(up_ref[0, 0], mid_ref[0, 0], dn_ref[0, 0], h, H, W,
-                       reflect)
+                       reflect, wl)
     res = lax.dot_general(
         wt_ref[...].astype(jnp.float32), x_col,
         (((1,), (0,)), ((), ())),
@@ -89,13 +95,20 @@ def _fwd_kernel(H, W, act, reflect, up_ref, mid_ref, dn_ref, wt_ref,
         res = jax.nn.sigmoid(res)
     elif act == "tanh":
         res = jnp.tanh(res)
+    elif act == "relu":
+        res = jnp.maximum(res, 0.0)
+    if wl != W:
+        # keep the fill columns zero so the chain-padding invariant holds
+        # for the next conv in the chain
+        col = lax.broadcasted_iota(jnp.int32, res.shape, 1)
+        res = jnp.where(col < wl, res, 0.0)
     out_ref[0, 0] = res.astype(out_ref.dtype)
 
 
-def _dw_kernel(H, W, reflect, up_ref, mid_ref, dn_ref, g_ref, dw_ref):
+def _dw_kernel(H, W, reflect, wl, up_ref, mid_ref, dn_ref, g_ref, dw_ref):
     h = pl.program_id(1)
     x_col = _tap_stack(up_ref[0, 0], mid_ref[0, 0], dn_ref[0, 0], h, H, W,
-                       reflect)
+                       reflect, wl)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, h == 0))
     def _init():
@@ -117,13 +130,13 @@ def _row_views(H):
     return up, mid, dn
 
 
-def _conv_rows(x, wt, b2, act, reflect, interpret):
+def _conv_rows(x, wt, b2, act, reflect, interpret, wl=None):
     B, H, Cin, W = x.shape
     Cout = wt.shape[0]
     up, mid, dn = _row_views(H)
     spec_x = [pl.BlockSpec((1, 1, Cin, W), m) for m in (up, mid, dn)]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H, W, act, reflect),
+        functools.partial(_fwd_kernel, H, W, act, reflect, wl or W),
         grid=(B, H),
         in_specs=spec_x + [
             pl.BlockSpec((Cout, 3 * 3 * Cin), lambda b, h: (0, 0)),
@@ -135,13 +148,13 @@ def _conv_rows(x, wt, b2, act, reflect, interpret):
     )(x, x, x, wt, b2)
 
 
-def _dw_call(x, g, reflect, interpret):
+def _dw_call(x, g, reflect, interpret, wl=None):
     B, H, Cin, W = x.shape
     Cout = g.shape[2]
     up, mid, dn = _row_views(H)
     spec_x = [pl.BlockSpec((1, 1, Cin, W), m) for m in (up, mid, dn)]
     return pl.pallas_call(
-        functools.partial(_dw_kernel, H, W, reflect),
+        functools.partial(_dw_kernel, H, W, reflect, wl or W),
         grid=(B, H),
         in_specs=spec_x + [
             pl.BlockSpec((1, 1, Cout, W), lambda b, h: (b, h, 0, 0)),
@@ -197,6 +210,92 @@ def conv3x3(x, w, b, act: str = "none", interpret: bool = False):
     return conv3x3_planar(xp, w, b, act, interpret)[..., :W]
 
 
+def conv3x3_zero(x, w, b, act: str = "none", interpret: bool = False):
+    """conv3x3_planar_zero on any width: pads W up to a 128 multiple.
+
+    Zero padding means the fill columns are plain zeros (output column
+    W-1's dx=+1 tap must read 0); outputs past W are garbage and sliced
+    off, so their cotangent is zero.
+    """
+    B, H, C, W = x.shape
+    Wp = -(-W // 128) * 128
+    if Wp == W:
+        return conv3x3_planar_zero(x, w, b, act, interpret)
+    fill = jnp.zeros((B, H, C, Wp - W), x.dtype)
+    xp = jnp.concatenate([x, fill], axis=3)
+    return conv3x3_planar_zero(xp, w, b, act, interpret)[..., :W]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _c3z_core(x, w, b, act: str, interpret: bool, wl: int):
+    wt = _pack_w(w)
+    b2 = (jnp.zeros((w.shape[3], 1), x.dtype) if b is None
+          else jnp.asarray(b).reshape(-1, 1))
+    return _conv_rows(x, wt, b2, act, False, interpret, wl)
+
+
+def _c3z_fwd(x, w, b, act, interpret, wl):
+    out = _c3z_core(x, w, b, act, interpret, wl)
+    return out, (x, w, b is not None, out)
+
+
+def _c3z_bwd(act, interpret, wl, saved, g):
+    x, w, has_b, out = saved
+    Cin, Cout = w.shape[2], w.shape[3]
+    ag = _act_grad(act, out.astype(jnp.float32))
+    gp = (g.astype(jnp.float32) * ag if ag is not None
+          else g.astype(jnp.float32)).astype(x.dtype)
+    if wl != x.shape[3]:
+        # out's fill columns are masked constants, so their cotangent is
+        # meaningless (nonzero garbage arrives via downstream elementwise
+        # ops) — kill it before it reaches dw/db/dx
+        col = lax.broadcasted_iota(jnp.int32, gp.shape, 3)
+        gp = jnp.where(col < wl, gp, 0).astype(x.dtype)
+
+    db = jnp.sum(gp.astype(jnp.float32), axis=(0, 1, 3))
+    dw = _unpack_dw(_dw_call(x, gp, False, interpret, wl), Cin, Cout)
+    dx = _conv_rows(gp, _pack_w(_rot_w(w)).astype(x.dtype),
+                    jnp.zeros((Cin, 1), x.dtype), "none", False, interpret,
+                    wl)
+    w_arr = jnp.asarray(w)
+    return (dx.astype(x.dtype), dw.astype(w_arr.dtype),
+            db.astype(w_arr.dtype) if has_b else None)
+
+
+_c3z_core.defvjp(_c3z_fwd, _c3z_bwd)
+
+
+def conv3x3_planar_zero(x, w, b, act: str = "none", interpret: bool = False):
+    """SAME zero-pad 3x3 conv + bias + activation, planar layout.
+
+    The zero-pad twin of :func:`conv3x3_planar` (the GRU/LSTM cell and
+    ResidualConvUnit convs are zero-pad ``nn.Conv``s in the reference,
+    rnn.py:101-140, fusion_v2.py:11-43). x (B, H, Cin, W); w (3, 3, Cin,
+    Cout) HWIO; b (Cout,) or None. Backward is simpler than reflect: the
+    adjoint of a zero-pad SAME conv is the zero-pad SAME conv of the
+    cotangent with rotated weights — no border fold-backs.
+    """
+    return _c3z_core(x, w, b, act, interpret, x.shape[3])
+
+
+def conv3x3_zero_chain(x, w, b, act: str = "none", wl: int = 0,
+                       interpret: bool = False):
+    """Zero-pad conv on a CHAIN-PADDED planar tensor.
+
+    Chain-padding contract: the tensor is physically W columns wide
+    (W % 128 == 0) but logically ``wl`` wide; columns wl..W-1 are zero
+    fill maintained BY this kernel (outputs there are masked to zero) and
+    by every elementwise op whose operands all keep zero fill. This lets
+    a whole conv chain at, e.g., logical width 320 run on one 384-wide
+    buffer with no per-conv pad/slice copies — entry pads once, exit
+    slices once. The boundary column wl-1 convolves as the true right
+    edge (its dx=+1 tap reads zero).
+    """
+    W = x.shape[3]
+    assert W % 128 == 0 and 2 <= wl <= W
+    return _c3z_core(x, w, b, act, interpret, wl)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def conv3x3_planar(x, w, b, act: str = "none", interpret: bool = False):
     """SAME reflect-pad 3x3 conv + bias + activation, planar layout.
@@ -220,6 +319,10 @@ def _act_grad(act, out, res=None):
         return out * (1.0 - out)
     if act == "tanh":
         return 1.0 - out * out
+    if act == "relu":
+        # relu' from the OUTPUT: out > 0 (the measure-zero pre==0 tie
+        # matches XLA's convention of 0 there only when out==0)
+        return (out > 0).astype(jnp.float32)
     raise ValueError(act)
 
 

@@ -17,8 +17,10 @@ Correctness notes vs the reference:
     trick (trainer_gru.py:356-364) without the device shuffling.
   * v7's "fusion before gru" (h_curr + h_prev)/2 (trainer_gru.py:689-697)
     is carried as a (h_curr, h_prev) scan state.
-  * scan bodies are rematerialized (jax.checkpoint) so T=10 full-res
-    hidden states don't blow HBM during backward.
+  * scan bodies (and the B*T-frame encoder/decoder) are rematerialized
+    (jax.checkpoint) when B*T is large so T=10 full-res hidden states
+    don't blow HBM during backward; small sequence batches skip remat
+    and save the forward recompute (``--gru_remat auto|0|1``).
 """
 
 from __future__ import annotations
@@ -44,6 +46,33 @@ from .steps import _apply_bn, compute_losses, generate_images_pred, predict_pose
 HEAD_VERSIONS = {"v4": (16, 32, 64, 128), "v6": (16, 32, 64, 128),
                  "v7": (32, 64, 128, 256)}
 PRE_DISP_VERSIONS = {"v3", "v4", "v6", "v7", "v8", "v9", "v10"}
+
+
+def _remat_mode(opts: Options) -> str:
+    """Which parts of the sequence step to rematerialize in the backward.
+
+    The scan body MUST remat: without it XLA stacks every cell
+    intermediate over T, and the small-channel (C=32) full-res tensors
+    pad 4x in the lane dim — measured 22.4 GB at B=8,T=3 (OOM on a
+    16 GB chip). The B*T-frame encoder/decoder remat is only needed
+    when B*T is large; skipping it saves their forward recompute.
+    Modes: "scan" (scan body only), "1" (everything), "0" (nothing),
+    "auto" ("scan" for small B*T, "1" otherwise).
+    """
+    mode = str(getattr(opts, "gru_remat", "auto"))
+    if mode == "auto":
+        return "scan" if opts.batch_size * opts.len_sequence <= 32 else "1"
+    if mode in ("0", "false", "False"):
+        return "0"
+    if mode in ("1", "true", "True"):
+        return "1"
+    return mode
+
+
+def _maybe_remat(fn, opts: Options, part: str = "encdec"):
+    mode = _remat_mode(opts)
+    remat = mode == "1" or (mode == "scan" and part == "scan")
+    return jax.checkpoint(fn) if remat else fn
 
 
 @dataclasses.dataclass
@@ -118,12 +147,11 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
     if version == "v5":
         feats_t = [_to_time_major(f, B, T) for f in dec_or_feats]
 
-        @jax.checkpoint
         def step(h, feats):
             h_new, _ = models.gru.apply(gru_params, list(feats), h)
             return h_new, h_new
 
-        _, h_seq = jax.lax.scan(step, h0, tuple(feats_t))
+        _, h_seq = jax.lax.scan(_maybe_remat(step, opts, 'scan'), h0, tuple(feats_t))
         # prepend h0, temporal fusion (h[t] + h[t+1]) / 2 added to features
         fused = []
         for s in range(5):
@@ -136,22 +164,20 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
 
     if version in ("v1", "v2", "v2_wo_att", "v3", "v8", "v9", "v10"):
 
-        @jax.checkpoint
         def step(h, dec):
             h_new, disp = models.gru.apply(gru_params, dec, h)
             return h_new, disp
 
-        _, disp_seq = jax.lax.scan(step, h0, dec_t)
+        _, disp_seq = jax.lax.scan(_maybe_remat(step, opts, 'scan'), h0, dec_t)
         return {k: _to_flat(v, B, T) for k, v in disp_seq.items()}
 
     if version in ("v4", "v6"):
 
-        @jax.checkpoint
         def step(h, dec):
             h_new, _ = models.gru.apply(gru_params, dec, h)
             return h_new, h_new
 
-        _, h_seq = jax.lax.scan(step, h0, dec_t)
+        _, h_seq = jax.lax.scan(_maybe_remat(step, opts, 'scan'), h0, dec_t)
         outputs = {}
         for s in range(4):
             hs = jnp.concatenate([h0[s][None], h_seq[s]], axis=0)
@@ -161,14 +187,13 @@ def gru_unroll(models: GRUModels, params, dec_or_feats, B: int, T: int):
 
     if version == "v7":
 
-        @jax.checkpoint
         def step(carry, dec):
             h_curr, h_prev = carry
             h_in = [(c + p) / 2 for c, p in zip(h_curr, h_prev)]
             h_new, _ = models.gru.apply(gru_params, dec, h_in)
             return (h_new, h_curr), h_new
 
-        _, h_seq = jax.lax.scan(step, (h0, h0), dec_t)
+        _, h_seq = jax.lax.scan(_maybe_remat(step, opts, 'scan'), (h0, h0), dec_t)
         outputs = [_to_flat(h_seq[s], B, T) for s in range(4)]
         return models.head.apply({"params": params["head"]}, outputs)
 
@@ -189,7 +214,7 @@ def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
     def enc_fn(p, bs_in, xx):
         return _apply_bn(models.encoder, p, bs_in, xx, train=train)
 
-    feats, bs = jax.checkpoint(enc_fn)(
+    feats, bs = _maybe_remat(enc_fn, opts)(
         params["encoder"], batch_stats.get("encoder", {}), x
     )
     new_bs["encoder"] = bs
@@ -202,7 +227,7 @@ def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
         def dec_fn(p, fs):
             return models.depth.apply({"params": p}, fs, pre_disp=pre_disp)
 
-        dec = jax.checkpoint(dec_fn)(params["depth"], feats)
+        dec = _maybe_remat(dec_fn, opts)(params["depth"], feats)
         outputs = gru_unroll(models, params, dec, B, T)
 
     pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
@@ -240,13 +265,21 @@ def init_gru_params(models: GRUModels, rng, batch):
         params["gru"] = models.gru.init(keys[2], one_t, zeros)["params"]
     else:
         one_t = {k: v.reshape((B, T) + v.shape[1:])[:, 0] for k, v in dec.items()}
-        from ..models.recurrent import GRU_HIDDEN_SPECS
+        from ..models.recurrent import GRU_HIDDEN_SPECS, _gru_planar_cfg
 
         spec = GRU_HIDDEN_SPECS[opts.gru_version if opts.gru_version != "v6" else "v4"]
+        planar_cfg = _gru_planar_cfg(opts.gru_version, opts.height,
+                                     opts.width, not opts.disable_attention,
+                                     len(spec["hid"]))
         zeros = []
         for s, hid in enumerate(spec["hid"]):
             div = 2**s
-            shape = (B, opts.height // div, opts.width // div, hid)
+            # layout must match ConvGRUBlocks.initial_state: planar scales
+            # carry chain-padded (B, H, C, wp) hidden states
+            if planar_cfg[s][0]:
+                shape = (B, opts.height // div, hid, planar_cfg[s][1])
+            else:
+                shape = (B, opts.height // div, opts.width // div, hid)
             if spec["cell"] == "lstm":
                 zeros.append((jnp.zeros(shape), jnp.zeros(shape)))
             else:

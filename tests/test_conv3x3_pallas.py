@@ -93,3 +93,79 @@ def test_depth_decoder_planar_parity(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(out_planar[k]),
                                    np.asarray(out_nhwc[k]), atol=1e-5,
                                    err_msg=k)
+
+
+ZCASES = [
+    # zero-pad twin (GRU/LSTM cell + ResidualConvUnit convs)
+    (2, 6, 8, 128, 16, "none"),
+    (1, 5, 4, 131, 8, "tanh"),   # lane-pad path: fill columns must be 0
+    pytest.param(2, 8, 16, 96, 8, "sigmoid", marks=pytest.mark.slow),
+]
+
+
+def _ref_zero(x, w, b, act):
+    from ssde_tpu.models.common import conv_same_nhwc
+
+    out = conv_same_nhwc(jnp.transpose(x, (0, 1, 3, 2)), w, b)
+    if act == "elu":
+        out = jax.nn.elu(out)
+    elif act == "sigmoid":
+        out = jax.nn.sigmoid(out)
+    elif act == "tanh":
+        out = jnp.tanh(out)
+    return jnp.transpose(out, (0, 1, 3, 2))
+
+
+@pytest.mark.parametrize("B,H,C,W,Cout,act", ZCASES)
+def test_conv3x3_zero_fwd_and_grads(rng, B, H, C, W, Cout, act):
+    from ssde_tpu.ops.pallas.conv3x3 import conv3x3_zero
+
+    x = jnp.asarray(rng.randn(B, H, C, W).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, C, Cout).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(Cout).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.randn(B, H, Cout, W).astype(np.float32))
+
+    o_ref = _ref_zero(x, w, b, act)
+    o_pal = conv3x3_zero(x, w, b, act, interpret=True)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_ref),
+                               atol=5e-6, rtol=1e-5)
+
+    g_ref = jax.grad(lambda *a: jnp.sum(_ref_zero(*a, act) * g),
+                     argnums=(0, 1, 2))(x, w, b)
+    g_pal = jax.grad(
+        lambda *a: jnp.sum(conv3x3_zero(*a, act, interpret=True) * g),
+        argnums=(0, 1, 2))(x, w, b)
+    for name, a, p in zip("xwb", g_ref, g_pal):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(np.asarray(p) / scale,
+                                   np.asarray(a) / scale, atol=2e-5,
+                                   err_msg=f"grad wrt {name}")
+
+
+def test_gru_cell_planar_parity(rng, monkeypatch):
+    """ConvGRUCell planar fast path == NHWC path (params identical)."""
+    from ssde_tpu.models.recurrent import ConvGRUCell
+
+    x = jnp.asarray(rng.rand(2, 6, 128, 4).astype(np.float32))
+    h = jnp.asarray(rng.rand(2, 6, 128, 8).astype(np.float32))
+    cell = ConvGRUCell(hidden_dim=8)
+    params = cell.init(jax.random.PRNGKey(0), x, h)
+
+    monkeypatch.setenv("SSDE_PLANAR_GRU", "0")
+    ref = cell.apply(params, x, h)
+    monkeypatch.setenv("SSDE_PLANAR_GRU", "1")
+    monkeypatch.setenv("SSDE_CONV_INTERPRET", "1")
+    pal = cell.apply(params, x, h)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref), atol=2e-5)
+
+    # gradients flow through the custom-VJP convs identically
+    def loss(p, planar):
+        monkeypatch.setenv("SSDE_PLANAR_GRU", "1" if planar else "0")
+        return jnp.sum(cell.apply(p, x, h) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree.map(
+        lambda a, p: np.testing.assert_allclose(np.asarray(p), np.asarray(a),
+                                                rtol=1e-5, atol=3e-5),
+        g_ref, g_pal)

@@ -169,3 +169,37 @@ def test_head_v4(rng):
     disp = head.apply(variables, outputs)
     for s in range(4):
         assert disp[f"disp/{s}"].shape[-1] == 1
+
+
+def test_gru_blocks_v10_planar_parity(rng, monkeypatch):
+    """Full-planar v10 block (chain-padded Pallas scan body, planar carry)
+    matches the NHWC path over two chained steps; W=64 exercises heavy
+    chain padding (wl=64 on a 128-wide physical buffer)."""
+    B = 2
+    ch = (16, 32, 64, 128)
+    dec = _pre_disp(rng, B, ch)
+    dec2 = _pre_disp(np.random.RandomState(7), B, ch)
+    monkeypatch.setenv("SSDE_PLANAR_GRU", "0")
+    block = make_gru("v10", H, W, attention=False)
+    variables = block.init(jax.random.PRNGKey(0), dec, _zeros_state("v10", B))
+
+    def two_steps():
+        h0 = block.apply(variables, B, method=ConvGRUBlocks.initial_state)
+        h1, d1 = block.apply(variables, dec, h0)
+        _, d2 = block.apply(variables, dec2, h1)
+        return d1, d2
+
+    d1r, d2r = two_steps()
+
+    monkeypatch.setenv("SSDE_PLANAR_GRU", "1")
+    monkeypatch.setenv("SSDE_CONV_INTERPRET", "1")
+    from ssde_tpu.models.recurrent import _gru_planar_cfg
+
+    assert any(c[0] for c in _gru_planar_cfg("v10", H, W, False, 4))
+    d1p, d2p = two_steps()
+
+    for k in d1r:
+        np.testing.assert_allclose(np.asarray(d1p[k]), np.asarray(d1r[k]),
+                                   atol=3e-5, err_msg=f"step1 {k}")
+        np.testing.assert_allclose(np.asarray(d2p[k]), np.asarray(d2r[k]),
+                                   atol=3e-5, err_msg=f"step2 {k}")
