@@ -76,49 +76,53 @@ def _tap_stack(up, mid, dn, h, H, W, reflect: bool, wl: int):
     )
 
 
-def _fwd_kernel(H, W, act, reflect, wl, up_ref, mid_ref, dn_ref, wt_ref,
+def _fwd_kernel(H, W, act, reflect, wl, RB, up_ref, mid_ref, dn_ref, wt_ref,
                 b_ref, out_ref):
     h = pl.program_id(1)
-    x_col = _tap_stack(up_ref[0, 0], mid_ref[0, 0], dn_ref[0, 0], h, H, W,
-                       reflect, wl)
-    res = lax.dot_general(
-        wt_ref[...].astype(jnp.float32), x_col,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    res = res + b_ref[...].astype(jnp.float32)
-    if act == "elu":
-        # (expm1 is not lowered by Mosaic; exp-1 in f32 is accurate to
-        # ~1e-7 on the negative branch, same as XLA's elu here)
-        res = jnp.where(res > 0, res, jnp.exp(res) - 1.0)
-    elif act == "sigmoid":
-        res = jax.nn.sigmoid(res)
-    elif act == "tanh":
-        res = jnp.tanh(res)
-    elif act == "relu":
-        res = jnp.maximum(res, 0.0)
-    if wl != W:
-        # keep the fill columns zero so the chain-padding invariant holds
-        # for the next conv in the chain
-        col = lax.broadcasted_iota(jnp.int32, res.shape, 1)
-        res = jnp.where(col < wl, res, 0.0)
-    out_ref[0, 0] = res.astype(out_ref.dtype)
+    for r in range(RB):
+        x_col = _tap_stack(up_ref[r, 0], mid_ref[r, 0], dn_ref[r, 0], h, H, W,
+                           reflect, wl)
+        res = lax.dot_general(
+            wt_ref[...].astype(jnp.float32), x_col,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        res = res + b_ref[...].astype(jnp.float32)
+        if act == "elu":
+            # (expm1 is not lowered by Mosaic; exp-1 in f32 is accurate to
+            # ~1e-7 on the negative branch, same as XLA's elu here)
+            res = jnp.where(res > 0, res, jnp.exp(res) - 1.0)
+        elif act == "sigmoid":
+            res = jax.nn.sigmoid(res)
+        elif act == "tanh":
+            res = jnp.tanh(res)
+        elif act == "relu":
+            res = jnp.maximum(res, 0.0)
+        if wl != W:
+            # keep the fill columns zero so the chain-padding invariant
+            # holds for the next conv in the chain
+            col = lax.broadcasted_iota(jnp.int32, res.shape, 1)
+            res = jnp.where(col < wl, res, 0.0)
+        out_ref[r, 0] = res.astype(out_ref.dtype)
 
 
-def _dw_kernel(H, W, reflect, wl, up_ref, mid_ref, dn_ref, g_ref, dw_ref):
+def _dw_kernel(H, W, reflect, wl, RB, up_ref, mid_ref, dn_ref, g_ref, dw_ref):
     h = pl.program_id(1)
-    x_col = _tap_stack(up_ref[0, 0], mid_ref[0, 0], dn_ref[0, 0], h, H, W,
-                       reflect, wl)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, h == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    dw_ref[...] += lax.dot_general(
-        x_col, g_ref[0, 0].astype(jnp.float32),
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    for r in range(RB):
+        x_col = _tap_stack(up_ref[r, 0], mid_ref[r, 0], dn_ref[r, 0], h, H, W,
+                           reflect, wl)
+        # one accumulating store per row: Mosaic only fuses ref += dot
+        # when the dot is the whole accumulator expression
+        dw_ref[...] += lax.dot_general(
+            x_col, g_ref[r, 0].astype(jnp.float32),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
 
 def _row_views(H):
@@ -130,19 +134,36 @@ def _row_views(H):
     return up, mid, dn
 
 
+def _batch_block(B, Cin, Cout, W):
+    """Rows of the SAME (h-1, h, h+1) window across RB batch items run in
+    one program: the per-program work grows RB-fold while the grid (and
+    its launch/prologue overhead — the per-(b,h)-row grid measured
+    launch-bound at B=48, PLAN.md) shrinks RB-fold. Bounded by scoped
+    VMEM (16M): double-buffered in/out blocks plus one f32 tap stack PER
+    unrolled row (Mosaic keeps them all live), plus the weights."""
+    budget = 12 * 2**20
+    per_item = 2 * (3 * Cin + Cout) * W * 2 + 9 * Cin * W * 4
+    fixed = Cout * 9 * Cin * 2
+    for rb in (8, 6, 4, 3, 2):
+        if B % rb == 0 and fixed + rb * per_item < budget:
+            return rb
+    return 1
+
+
 def _conv_rows(x, wt, b2, act, reflect, interpret, wl=None):
     B, H, Cin, W = x.shape
     Cout = wt.shape[0]
+    RB = _batch_block(B, Cin, Cout, W)
     up, mid, dn = _row_views(H)
-    spec_x = [pl.BlockSpec((1, 1, Cin, W), m) for m in (up, mid, dn)]
+    spec_x = [pl.BlockSpec((RB, 1, Cin, W), m) for m in (up, mid, dn)]
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, H, W, act, reflect, wl or W),
-        grid=(B, H),
+        functools.partial(_fwd_kernel, H, W, act, reflect, wl or W, RB),
+        grid=(B // RB, H),
         in_specs=spec_x + [
             pl.BlockSpec((Cout, 3 * 3 * Cin), lambda b, h: (0, 0)),
             pl.BlockSpec((Cout, 1), lambda b, h: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, Cout, W), lambda b, h: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((RB, 1, Cout, W), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Cout, W), x.dtype),
         interpret=interpret,
     )(x, x, x, wt, b2)
@@ -151,13 +172,14 @@ def _conv_rows(x, wt, b2, act, reflect, interpret, wl=None):
 def _dw_call(x, g, reflect, interpret, wl=None):
     B, H, Cin, W = x.shape
     Cout = g.shape[2]
+    RB = _batch_block(B, Cin, Cout, W)
     up, mid, dn = _row_views(H)
-    spec_x = [pl.BlockSpec((1, 1, Cin, W), m) for m in (up, mid, dn)]
+    spec_x = [pl.BlockSpec((RB, 1, Cin, W), m) for m in (up, mid, dn)]
     return pl.pallas_call(
-        functools.partial(_dw_kernel, H, W, reflect, wl or W),
-        grid=(B, H),
+        functools.partial(_dw_kernel, H, W, reflect, wl or W, RB),
+        grid=(B // RB, H),
         in_specs=spec_x + [
-            pl.BlockSpec((1, 1, Cout, W), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((RB, 1, Cout, W), lambda b, h: (b, h, 0, 0)),
         ],
         out_specs=pl.BlockSpec((9 * Cin, Cout), lambda b, h: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((9 * Cin, Cout), jnp.float32),
