@@ -128,19 +128,28 @@ class Conv3x3(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, planar: bool = False, act: str = "none"):
+    def __call__(self, x, planar: bool = False, act: str = "none",
+                 s2d: bool = False, s2d_up: bool = False, skip=None):
         """NHWC by default. ``planar=True`` takes/returns (B, H, C, W) and
         runs the fused Pallas kernel (ops/pallas/conv3x3) with ``act``
-        ("none" | "elu" | "sigmoid") fused in; parameters are identical
-        either way."""
+        ("none" | "elu" | "sigmoid") fused in; ``s2d=True`` takes/returns
+        group-major space-to-depth views (ops/s2d) — the fast form for the
+        wide-spatial/narrow-channel decoder stages. ``s2d_up=True`` treats
+        ``x`` as the PRE-upsample full-res tensor and computes the conv of
+        concat([nearest_up2x(x), skip]) directly into an s2d view
+        (ops/s2d.conv3x3_s2d_up; skip is an s2d view or None). Parameters
+        are identical in every mode."""
         if not self.use_refl:
-            assert not planar
+            assert not planar and not s2d and not s2d_up
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
             return nn.Conv(
                 self.out_channels, (3, 3), padding="VALID", dtype=self.dtype,
                 name="conv",
             )(x)
-        cin = x.shape[2] if planar else x.shape[-1]
+        cin = (x.shape[2] if planar else
+               x.shape[-1] // 4 if s2d else
+               x.shape[-1] + (skip.shape[-1] // 4 if skip is not None else 0)
+               if s2d_up else x.shape[-1])
         kernel, bias = _ConvParams(
             (3, 3, cin, self.out_channels), name="conv")()
         if self.dtype is not None:
@@ -153,6 +162,16 @@ class Conv3x3(nn.Module):
 
             return conv3x3(x, kernel, bias, act,
                            interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+        if s2d:
+            from ..ops.s2d import conv3x3_s2d
+
+            return conv3x3_s2d(x, kernel, bias, act, reflect=True)
+        if s2d_up:
+            from ..ops.s2d import conv3x3_s2d_up
+
+            if skip is not None and self.dtype is not None:
+                skip = skip.astype(self.dtype)
+            return conv3x3_s2d_up(x, skip, kernel, bias, act, reflect=True)
         out = conv3x3_reflect_same(x, kernel, bias)
         if act == "elu":
             out = nn.elu(out)
@@ -168,9 +187,10 @@ class ConvBlock(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, planar: bool = False):
+    def __call__(self, x, planar: bool = False, s2d: bool = False,
+                 s2d_up: bool = False, skip=None):
         return Conv3x3(self.out_channels, dtype=self.dtype, name="conv")(
-            x, planar=planar, act="elu")
+            x, planar=planar, act="elu", s2d=s2d, s2d_up=s2d_up, skip=skip)
 
 
 class ResidualConvUnit(nn.Module):

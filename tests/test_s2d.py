@@ -1,0 +1,121 @@
+"""Parity of the space-to-depth conv forms (ops/s2d) vs the NHWC ops.
+
+The s2d view is a pure layout change: every op here must match the NHWC
+reference implementation (models/common.conv3x3_reflect_same /
+conv_same_nhwc, reference layers.py:106-136) to f32 accumulation noise,
+including gradients, or checkpoints trained on one path would not
+evaluate identically on the other.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ssde_tpu.models.common import conv3x3_reflect_same, conv_same_nhwc
+from ssde_tpu.models.depth_decoder import DepthDecoder
+from ssde_tpu.ops.s2d import (conv3x3_s2d, conv3x3_s2d_up, depth_to_space,
+                              space_to_depth)
+from ssde_tpu.ops.image import upsample2x_nearest
+
+TOL = 5e-5
+
+
+def test_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 5))
+    assert jnp.array_equal(depth_to_space(space_to_depth(x)), x)
+
+
+@pytest.mark.parametrize("shape", [(8, 12, 3, 5), (16, 20, 16, 16),
+                                   (6, 8, 7, 2), (4, 4, 1, 1)])
+@pytest.mark.parametrize("reflect", [True, False])
+def test_conv3x3_s2d_parity(shape, reflect):
+    H, W, Ci, Co = shape
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(kx, (2, H, W, Ci))
+    w = jax.random.normal(kw, (3, 3, Ci, Co))
+    b = jax.random.normal(kb, (Co,))
+    ref = (conv3x3_reflect_same(x, w, b) if reflect
+           else conv_same_nhwc(x, w, b))
+    got = depth_to_space(conv3x3_s2d(space_to_depth(x), w, b,
+                                     reflect=reflect))
+    assert jnp.abs(ref - got).max() < TOL
+
+
+@pytest.mark.parametrize("skip_ch", [None, 6])
+def test_conv3x3_s2d_up_parity(skip_ch):
+    """Fused upsample(+skip-concat) conv == upsample, concat, NHWC conv."""
+    H, W, Cx, Co = 8, 12, 5, 7
+    Cs = skip_ch or 0
+    kx, ks, kw, kb = jax.random.split(jax.random.PRNGKey(2), 4)
+    x = jax.random.normal(kx, (2, H, W, Cx))
+    skip = (jax.random.normal(ks, (2, 2 * H, 2 * W, Cs))
+            if skip_ch else None)
+    w = jax.random.normal(kw, (3, 3, Cx + Cs, Co))
+    b = jax.random.normal(kb, (Co,))
+
+    up = upsample2x_nearest(x)
+    cat = jnp.concatenate([up, skip], -1) if skip_ch else up
+    ref = conv3x3_reflect_same(cat, w, b)
+    got = depth_to_space(conv3x3_s2d_up(
+        x, space_to_depth(skip) if skip_ch else None, w, b, reflect=True))
+    assert jnp.abs(ref - got).max() < TOL
+
+
+def test_conv3x3_s2d_grads():
+    """dx/dw/db of the s2d form match NHWC autodiff."""
+    kx, kw, kb = jax.random.split(jax.random.PRNGKey(3), 3)
+    x = jax.random.normal(kx, (2, 8, 12, 5))
+    w = jax.random.normal(kw, (3, 3, 5, 4))
+    b = jax.random.normal(kb, (4,))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.sin(conv3x3_reflect_same(x, w, b)))
+
+    def loss_s2d(x, w, b):
+        return jnp.sum(jnp.sin(depth_to_space(
+            conv3x3_s2d(space_to_depth(x), w, b))))
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    g2 = jax.grad(loss_s2d, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g1, g2):
+        assert jnp.abs(a - c).max() < 5e-4
+
+
+@pytest.mark.parametrize("lvl", ["0", "1", "2"])
+def test_depth_decoder_s2d_parity(lvl, monkeypatch):
+    """The whole decoder matches the NHWC path at every cutover level,
+    for disp heads, the pre_disp hook, and parameter gradients."""
+    feats = []
+    k = jax.random.PRNGKey(1)
+    H, W = 64, 96
+    for ch in (64, 64, 128, 256, 512):
+        H //= 2
+        W //= 2
+        k, kk = jax.random.split(k)
+        feats.append(jax.random.normal(kk, (2, H, W, ch)))
+    dec = DepthDecoder(scales=(0, 1, 2, 3))
+    params = dec.init(jax.random.PRNGKey(0), feats)
+
+    monkeypatch.setenv("SSDE_S2D_DECODER", "false")
+    ref = dec.apply(params, feats)
+    refp = dec.apply(params, feats, pre_disp=True)
+    g1 = jax.grad(lambda p: sum(jnp.sum(v)
+                                for v in dec.apply(p, feats).values()))(params)
+    monkeypatch.setenv("SSDE_S2D_DECODER", lvl)
+    got = dec.apply(params, feats)
+    gotp = dec.apply(params, feats, pre_disp=True)
+    g2 = jax.grad(lambda p: sum(jnp.sum(v)
+                                for v in dec.apply(p, feats).values()))(params)
+    for key in ref:
+        assert jnp.abs(ref[key] - got[key]).max() < TOL, key
+    for key in refp:
+        assert jnp.abs(refp[key] - gotp[key]).max() < 2e-4, key
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        assert jnp.abs(a - c).max() < 2e-3
+
+
+# NOTE: the decoder's %4 guard (depth_decoder.py) is defensive only — a
+# well-formed 5-level pyramid forces H, W % 32 == 0, which already makes
+# every converted level's block dims even.
