@@ -123,14 +123,16 @@ class Options:
     # only) | "pallas" (per-pair kernel) | "mxu" (XLA one-hot einsum) |
     # "gather" (XLA gather, f32-exact)
     warp_backend: str = "auto"
-    # vertical band height of the banded warp kernel (multiple of 8, min 16).
+    # vertical band height of the banded warp kernel (multiple of 8, min 8).
     # Kernel VPU work scales ~linearly with it; the per-output-row source-y
-    # span budget is vband - 9 pixels. KITTI reprojection spans are ~1-3 px
-    # (16 and 40 agree exactly on bench grids); rows beyond the budget clamp
-    # to the band edge and warp/band_violation in the losses dict reports
-    # the violating fraction — raise vband if it is sustained non-zero.
-    # Measured B=48 warp fwd+bwd: vband 40 = 85.5 ms, 24 = 65.2, 16 = 47.7.
-    warp_vband: int = 16
+    # span budget is vband - 2 pixels (the kernel roll-aligns the exact band
+    # start, so no 8-alignment slack is lost). KITTI reprojection spans are
+    # ~1-3 px (8/16/40 agree exactly on bench grids); rows beyond the budget
+    # clamp to the band edge and warp/band_violation in the losses dict
+    # reports the violating fraction — raise vband if sustained non-zero.
+    # Measured B=48 warp fwd+bwd: vband 40 = 85.5 ms, 24 = 65.2, 16 = 47.7
+    # (pre-roll); rolled vband 8 = see PLAN.md.
+    warp_vband: int = 8
     # rematerialization of the GRU sequence step in the backward pass:
     # "1" remats the B*T-frame encoder/decoder AND the scan body, "scan"
     # remats the scan body only (the scan MUST remat — without it XLA

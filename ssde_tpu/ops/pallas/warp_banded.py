@@ -6,8 +6,10 @@ directly. This kernel exploits the structure of reprojection warps
 instead: within one output row, the source y's span a few rows and each
 128-column output tile's source x's span ~a tile. Per program it
 
-  * slices a VBAND-row source band at the row-chunk's min y0
-    (dynamic sublane slice),
+  * loads an 8-aligned (VBAND+8)-row source window and dynamically
+    ROLLS it so the row's exact min y0 lands at band row 0 (dynamic
+    sublane slices must be 8-aligned; the roll removes the alignment
+    slack so the whole band is usable y-span budget),
   * gathers the horizontal taps from the THREE static neighbor column
     tiles (t-1, t, t+1) with membership masks — valid iff
     ``x0 - t*TW`` is in ``[-TW, 2*TW - 2]``,
@@ -39,22 +41,24 @@ from jax import lax
 
 try:
     from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
     _PALLAS_OK = True
 except ImportError:  # pragma: no cover
     _PALLAS_OK = False
 
-VBAND = 40      # default source rows per band (min y0 aligned down to 8)
+VBAND = 8       # default source rows per band (exact, roll-aligned)
 TW = 128        # output columns per tile (one vreg)
 # horizontal taps come from the 3 STATIC neighbor column-tiles (t-1, t,
 # t+1) with membership masks: valid iff x0 - t*TW is in [-TW, 2*TW - 2]
-YSPAN = VBAND - 9   # per-row y-span budget (band minus 8-alignment slack)
+YSPAN = VBAND - 2   # per-row y-span budget (2-tap edge; no alignment slack)
 
 
 def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
                    fx_ref, fy_ref, img_ref, out_ref, rdx_ref, rdy_ref):
     Wo = fx_ref.shape[-1]
     n_tiles = Wo // TW
+    L = vband + 8                                      # aligned load height
 
     fx = fx_ref[0]                                     # (chunk, Wo) f32
     fy = fy_ref[0]
@@ -67,12 +71,24 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
 
     for k in range(chunk):
         yk = y0[k:k + 1, :]                            # (1, Wo)
-        # dynamic sublane offsets must be multiples of 8 (Mosaic)
-        ymin = (jnp.minimum(jnp.min(yk), H - vband) // 8) * 8
+        # exact band start: load L rows at an 8-aligned offset (Mosaic's
+        # dynamic sublane slices must be multiples of 8), then roll so
+        # the exact ymin lands at row 0 — no alignment slack, so the
+        # whole band is usable y-span budget
+        ymin = jnp.clip(jnp.min(yk), 0, H - vband)
+        # the // 8 * 8 must be OUTERMOST so Mosaic can statically prove
+        # the dynamic sublane offset is 8-aligned
+        yal = (jnp.minimum(ymin, H - L) // 8) * 8
+        off = ymin - yal                               # in [0, L-1]
         # rows beyond the band clamp to its edge (bounded error; the
         # wrapper's violation monitor tracks how often this fires)
         ys = jnp.clip(yk - ymin, 0, vband - 2)
         iota_v = lax.broadcasted_iota(jnp.int32, (vband, TW), 0)
+
+        bands = []
+        for c in range(C):
+            band = img_ref[0, c, pl.ds(yal, L), :].astype(jnp.float32)
+            bands.append(pltpu.roll(band, (L - off) % L, 0))
 
         for t in range(n_tiles):
             sl = slice(t * TW, (t + 1) * TW)
@@ -88,7 +104,7 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
 
             windows = [w for w in (t - 1, t, t + 1) if 0 <= w < n_tiles]
             # Mosaic's gather wants idx.shape == source.shape: one gather
-            # per (window, tap), source kept bf16
+            # per (window, tap)
             masks = []
             for w in windows:
                 rel = xt - w * TW                      # (1, TW)
@@ -107,8 +123,7 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
                 a0 = jnp.zeros((vband, TW), jnp.float32)
                 a1 = jnp.zeros((vband, TW), jnp.float32)
                 for w, per_tap in zip(windows, masks):
-                    win = img_ref[0, c, pl.ds(ymin, vband),
-                                  w * TW:(w + 1) * TW].astype(jnp.float32)
+                    win = bands[c][:vband, w * TW:(w + 1) * TW]
                     (ok0, idx0), (ok1, idx1) = per_tap
                     a0 = jnp.where(ok0, jnp.take_along_axis(win, idx0, axis=1), a0)
                     a1 = jnp.where(ok1, jnp.take_along_axis(win, idx1, axis=1), a1)
@@ -218,9 +233,11 @@ def grid_sample_banded(img, grids, align_corners: bool = False,
 
     ``vband`` (multiple of 8) sets the vertical band height: per-row
     in-kernel VPU work (gathers, masks, reductions) scales ~linearly with
-    it, and the per-output-row source-y span budget is ``vband - 9``
-    (8-alignment slack + the 2-tap edge). KITTI reprojection spans are a
-    few pixels; the training default trades the unused budget for speed.
+    it, and the per-output-row source-y span budget is ``vband - 2``
+    (only the 2-tap edge — the kernel loads an 8-aligned superset and
+    dynamically rolls the exact band start to row 0, so no alignment
+    slack is lost). KITTI reprojection spans are a few pixels; the
+    training default (8) trades the unused budget for speed.
     """
     out, _ = _gsb_fwd(img, grids, align_corners, chunk, interpret, strict,
                       vband)
@@ -251,7 +268,7 @@ def band_violation_fraction(img_shape, grids, align_corners: bool = False,
     fx, fy = _unnormalize_clamped(grids, H, W, align_corners)
     y0 = jnp.clip(jnp.floor(fy), 0, H - 2)
     span = jnp.max(y0, axis=-1) - jnp.min(y0, axis=-1)
-    bad_y = span > vband - 9
+    bad_y = span > vband - 2
     x0 = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
     Wo = x0.shape[-1]
     n_tiles = max(Wo // TW, 1)
@@ -270,7 +287,7 @@ def _gsb_fwd(img, grids, align_corners, chunk, interpret, strict=False,
     if chunk % 8 or Ho % chunk:
         chunk = Ho if Ho % 8 else 8
 
-    if strict or not _PALLAS_OK or H < vband or W < TW or Wo % TW:
+    if strict or not _PALLAS_OK or H < vband + 8 or W < TW or Wo % TW:
         # exact MXU path (strict callers / geometry the kernel can't serve)
         out_p, rdx_p, rdy_p = _taps_mxu_reference(img, grids, align_corners)
     else:
@@ -340,7 +357,7 @@ def _gsbp_fwd(img, grids, align_corners, chunk, interpret, vband):
     if chunk % 8 or Ho % chunk:
         chunk = Ho if Ho % 8 else 8
 
-    if not _PALLAS_OK or H < vband or W < TW or Wo % TW:
+    if not _PALLAS_OK or H < vband + 8 or W < TW or Wo % TW:
         # exact fallback: NHWC reference taps, repacked to the planar
         # contract (CPU parity tests / geometry the kernel can't serve)
         out_b, rdx_b, rdy_b = _taps_mxu_reference(

@@ -299,7 +299,7 @@ def generate_images_pred(inputs, outputs, opts: Options, source_ids):
             from ..ops.pallas.warp_gather import grid_sample_family as fam
 
         if backend == "banded":
-            vband = max((getattr(opts, "warp_vband", 24) // 8) * 8, 16)
+            vband = max((getattr(opts, "warp_vband", 8) // 8) * 8, 8)
         by_src = {}
         for scale, f, src, pix in pairs:
             by_src.setdefault(f, (src, []))[1].append((scale, pix))
