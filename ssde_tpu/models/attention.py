@@ -23,6 +23,7 @@ Semantics notes (verified against the reference):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -30,6 +31,30 @@ import jax
 import jax.numpy as jnp
 
 _kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def _attn_kernel_enabled():
+    """Fused Pallas windowed-attention path: on by default on TPU,
+    interpret-mode when SSDE_CONV_INTERPRET is set (CPU tests), opt-out
+    via SSDE_ATTN_KERNEL=0."""
+    v = os.environ.get("SSDE_ATTN_KERNEL")
+    if v is not None:
+        return v not in ("0", "false")
+    if os.environ.get("SSDE_CONV_INTERPRET"):
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _pad_ring(xpl, b):
+    """Planar (B, H, C, W) -> (B, H+2, C, W+2) with the ring holding the
+    per-channel value ``b`` (the conv bias: the reference zero-pads the
+    input BEFORE its biased 1x1 convs, so the pad ring carries the bias)."""
+    B, H, C, W = xpl.shape
+    bc = b.astype(xpl.dtype)
+    col = jnp.broadcast_to(bc[None, None, :, None], (B, H, C, 1))
+    x2 = jnp.concatenate([col, xpl, col], axis=3)
+    row = jnp.broadcast_to(bc[None, None, :, None], (B, 1, C, W + 2))
+    return jnp.concatenate([row, x2, row], axis=1)
 
 
 def extract_windows(x, kernel_size: int):
@@ -63,33 +88,28 @@ class AttentionConv(nn.Module):
         C = self.out_channels
         pad = (k - 1) // 2
 
-        q = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
-                    dtype=self.dtype, name="query_conv")(x)
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        key = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
-                      dtype=self.dtype, name="key_conv")(xp)
-        val = nn.Conv(C, (1, 1), use_bias=self.use_bias, kernel_init=_kaiming_out,
-                      dtype=self.dtype, name="value_conv")(xp)
+        query_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
+                             kernel_init=_kaiming_out, dtype=self.dtype,
+                             name="query_conv")
+        key_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
+                           kernel_init=_kaiming_out, dtype=self.dtype,
+                           name="key_conv")
+        value_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
+                             kernel_init=_kaiming_out, dtype=self.dtype,
+                             name="value_conv")
 
-        if self.shared_rel:
-            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (k,))
-            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (k,))
-            # first half channels + rel_h[kh], second half + rel_w[kw]
-            rh = jnp.repeat(rel_h, k)                      # (k2,) varies by row
-            rw = jnp.tile(rel_w, k)                        # (k2,) varies by col
-            rel = jnp.concatenate(
-                [
-                    jnp.broadcast_to(rh[:, None], (k * k, C // 2)),
-                    jnp.broadcast_to(rw[:, None], (k * k, C - C // 2)),
-                ],
-                axis=-1,
-            )
-        else:
-            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (C // 2, k))
-            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (C // 2, k))
-            rh = jnp.repeat(rel_h, k, axis=1)              # (C/2, k2) by row
-            rw = jnp.tile(rel_w, (1, k))                   # (C/2, k2) by col
-            rel = jnp.concatenate([rh, rw], axis=0).T      # (k2, C)
+        from ..ops.pallas.attention_win import attend3, fits_attend3
+
+        Bx, Hx, Wx, Cin = x.shape
+        if k == 3 and _attn_kernel_enabled() and fits_attend3(Hx, C, Wx):
+            return self._kernel_path(x, query_conv, key_conv, value_conv)
+
+        q = query_conv(x)
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        key = key_conv(xp)
+        val = value_conv(xp)
+
+        rel = self._rel_table(k, C)
 
         # streaming softmax over the k^2 window WITHOUT materializing a
         # (B, H, W, k2, C) window tensor: with the small channel counts of
@@ -126,6 +146,51 @@ class AttentionConv(nn.Module):
         out = attend(q.transpose(0, 3, 1, 2), key.transpose(0, 3, 1, 2),
                      val.transpose(0, 3, 1, 2))
         return out.transpose(0, 2, 3, 1)
+
+    def _rel_table(self, k, C):
+        if self.shared_rel:
+            rel_h = self.param("rel_h", nn.initializers.normal(1.0), (k,))
+            rel_w = self.param("rel_w", nn.initializers.normal(1.0), (k,))
+            # first half channels + rel_h[kh], second half + rel_w[kw]
+            rh = jnp.repeat(rel_h, k)                      # (k2,) varies by row
+            rw = jnp.tile(rel_w, k)                        # (k2,) varies by col
+            return jnp.concatenate(
+                [
+                    jnp.broadcast_to(rh[:, None], (k * k, C // 2)),
+                    jnp.broadcast_to(rw[:, None], (k * k, C - C // 2)),
+                ],
+                axis=-1,
+            )
+        rel_h = self.param("rel_h", nn.initializers.normal(1.0), (C // 2, k))
+        rel_w = self.param("rel_w", nn.initializers.normal(1.0), (C // 2, k))
+        rh = jnp.repeat(rel_h, k, axis=1)                  # (C/2, k2) by row
+        rw = jnp.tile(rel_w, (1, k))                       # (C/2, k2) by col
+        return jnp.concatenate([rh, rw], axis=0).T         # (k2, C)
+
+    def _kernel_path(self, x, query_conv, key_conv, value_conv):
+        """Fused Pallas path: 1x1 convs on the UNPADDED input (identical
+        params), bias carried on the pad ring (see _pad_ring), one fused
+        windowed-softmax kernel in planar layout."""
+        from ..ops.pallas.attention_win import attend3
+
+        C = self.out_channels
+        Cin = x.shape[-1]
+        q = query_conv(x)
+        key = key_conv(x)
+        val = value_conv(x)
+        if self.use_bias:
+            zero = jnp.zeros((1, 1, 1, Cin), x.dtype)
+            bk = key_conv(zero)[0, 0, 0]
+            bv = value_conv(zero)[0, 0, 0]
+        else:
+            bk = bv = jnp.zeros((C,), x.dtype)
+        rel = self._rel_table(3, C)
+        qp = q.transpose(0, 1, 3, 2)                       # (B, H, C, W)
+        kp = _pad_ring(key.transpose(0, 1, 3, 2), bk)
+        vp = _pad_ring(val.transpose(0, 1, 3, 2), bv)
+        out = attend3(qp, kp, vp, rel,
+                      interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+        return out.transpose(0, 1, 3, 2)
 
 
 class AttentionStem(nn.Module):

@@ -28,15 +28,26 @@ def _host_cache_key() -> str:
     if backend != "cpu":
         return backend
     feats = ""
+    model = ""
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith(("flags", "Features")):
+                # the feature FLAGS alone are not a sufficient fingerprint:
+                # XLA:CPU also bakes model-derived tuning hints (e.g.
+                # +prefer-no-gather) into its AOT entries, and two machines
+                # with identical flags but different models produced the
+                # round-2/3 slow-failing-AOT-load storms — include the
+                # model line in the key
+                if not feats and line.startswith(("flags", "Features")):
                     feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                elif not model and line.startswith("model name"):
+                    model = line.split(":", 1)[1].strip()
+                if feats and model:
                     break
     except OSError:
         pass
-    h = hashlib.md5(f"{platform.machine()}|{feats}".encode()).hexdigest()[:10]
+    h = hashlib.md5(
+        f"{platform.machine()}|{model}|{feats}".encode()).hexdigest()[:10]
     return f"cpu-{h}"
 
 
