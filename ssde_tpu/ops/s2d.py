@@ -39,6 +39,9 @@ via masked adds on (block-row, channel-group) coordinates.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -116,6 +119,114 @@ def _col_from_s2d(xs, c, C):
     stk = jnp.stack([g0, g1], axis=2)                      # (B, Hs, 2, C)
     B, Hs = col.shape[0], col.shape[1]
     return stk.reshape(B, 2 * Hs, C)
+
+
+@jax.custom_vjp
+def _s2d_borders(xs):
+    """Border strips + corner pixels of the FULL-RES tensor, from its s2d
+    view — with a hand-written VJP.
+
+    Forward extracts full-res row 1, row H-2, col 1, col W-2 and the four
+    (1,1)/(H-2,1)/(1,W-2)/(H-2,W-2) pixels (everything the reflect fix
+    reads). Autodiff's adjoint of each extraction is a full-size zeros
+    scatter-accumulate — four extra O(B*Hs*Ws*4C) passes per conv that XLA
+    does not fuse (measured ~2.6 ms/conv of the decoder's ~10 ms border
+    overhead at B=48). The custom backward assembles ALL strip cotangents
+    into one tensor with four masked adds instead.
+    """
+    B, Hs, Ws, C4 = xs.shape
+    Ci = C4 // 4
+    H, W = 2 * Hs, 2 * Ws
+
+    def px(r, c):
+        return xs[:, r // 2, c // 2,
+                  ((r % 2) * 2 + (c % 2)) * Ci:
+                  ((r % 2) * 2 + (c % 2) + 1) * Ci]
+
+    return (_row_from_s2d(xs, 1, Ci), _row_from_s2d(xs, H - 2, Ci),
+            _col_from_s2d(xs, 1, Ci), _col_from_s2d(xs, W - 2, Ci),
+            (px(1, 1), px(H - 2, 1), px(1, W - 2), px(H - 2, W - 2)))
+
+
+def _s2d_borders_fwd(xs):
+    # the residual must be a JAX-typed pytree; xs itself is free (it is
+    # already saved by the main conv's VJP — XLA shares the buffer)
+    return _s2d_borders(xs), xs
+
+
+def _s2d_borders_bwd(res, cots):
+    (B, Hs, Ws, C4), dtype = res.shape, res.dtype
+    Ci = C4 // 4
+    H = 2 * Hs
+    drow1, drowm2, dcol1, dcolm2, (dc11, dcm21, dc1m2, dcm2m2) = cots
+    f32 = jnp.float32
+    # corner cotangents ride the column strips (positions 1 / H-2 are
+    # interior to those strips)
+    dcol1 = dcol1.astype(f32).at[:, 1].add(dc11.astype(f32))
+    dcol1 = dcol1.at[:, H - 2].add(dcm21.astype(f32))
+    dcolm2 = dcolm2.astype(f32).at[:, 1].add(dc1m2.astype(f32))
+    dcolm2 = dcolm2.at[:, H - 2].add(dcm2m2.astype(f32))
+
+    # full-res row 1 = block row 0, di=1 -> s2d channels [2Ci:4Ci]
+    zer2 = jnp.zeros((B, Ws, 2 * Ci), f32)
+    top = jnp.concatenate([zer2, drow1.astype(f32).reshape(B, Ws, 2 * Ci)],
+                          axis=-1)
+    # full-res row H-2 = block row Hs-1, di=0 -> channels [0:2Ci]
+    bot = jnp.concatenate([drowm2.astype(f32).reshape(B, Ws, 2 * Ci), zer2],
+                          axis=-1)
+    # full-res col 1 = block col 0, dj=1 -> groups (0,1)=[Ci:2Ci] (di=0)
+    # and (1,1)=[3Ci:4Ci] (di=1)
+    zc = jnp.zeros((B, Hs, Ci), f32)
+    c1 = dcol1.reshape(B, Hs, 2, Ci)
+    lef = jnp.concatenate([zc, c1[:, :, 0], zc, c1[:, :, 1]], axis=-1)
+    # full-res col W-2 = block col Ws-1, dj=0 -> groups (0,0)/(1,0)
+    cm2 = dcolm2.reshape(B, Hs, 2, Ci)
+    rig = jnp.concatenate([cm2[:, :, 0], zc, cm2[:, :, 1], zc], axis=-1)
+
+    row = lax.broadcasted_iota(jnp.int32, (1, Hs, 1, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, Ws, 1), 2)
+    zero = jnp.zeros((), f32)
+    dxs = (jnp.where(row == 0, top[:, None], zero)
+           + jnp.where(row == Hs - 1, bot[:, None], zero)
+           + jnp.where(col == 0, lef[:, :, None], zero)
+           + jnp.where(col == Ws - 1, rig[:, :, None], zero))
+    return (dxs.astype(dtype),)
+
+
+_s2d_borders.defvjp(_s2d_borders_fwd, _s2d_borders_bwd)
+
+
+@jax.custom_vjp
+def _fr_borders(x):
+    """Edge rows/cols + corner pixels of a (B, Hs, Ws, C) tensor, with a
+    one-pass masked-add VJP (same rationale as :func:`_s2d_borders`)."""
+    return (x[:, 0], x[:, -1], x[:, :, 0], x[:, :, -1],
+            (x[:, 0, 0], x[:, -1, 0], x[:, 0, -1], x[:, -1, -1]))
+
+
+def _fr_borders_fwd(x):
+    return _fr_borders(x), x
+
+
+def _fr_borders_bwd(res, cots):
+    (B, Hs, Ws, C), dtype = res.shape, res.dtype
+    drow0, drowm1, dcol0, dcolm1, (dc00, dcm0, dc0m, dcmm) = cots
+    f32 = jnp.float32
+    dcol0 = dcol0.astype(f32).at[:, 0].add(dc00.astype(f32))
+    dcol0 = dcol0.at[:, -1].add(dcm0.astype(f32))
+    dcolm1 = dcolm1.astype(f32).at[:, 0].add(dc0m.astype(f32))
+    dcolm1 = dcolm1.at[:, -1].add(dcmm.astype(f32))
+    row = lax.broadcasted_iota(jnp.int32, (1, Hs, 1, 1), 1)
+    col = lax.broadcasted_iota(jnp.int32, (1, 1, Ws, 1), 2)
+    zero = jnp.zeros((), f32)
+    dx = (jnp.where(row == 0, drow0.astype(f32)[:, None], zero)
+          + jnp.where(row == Hs - 1, drowm1.astype(f32)[:, None], zero)
+          + jnp.where(col == 0, dcol0[:, :, None], zero)
+          + jnp.where(col == Ws - 1, dcolm1[:, :, None], zero))
+    return (dx.astype(dtype),)
+
+
+_fr_borders.defvjp(_fr_borders_fwd, _fr_borders_bwd)
 
 
 def _fix(strip, w_taps):
@@ -207,19 +318,9 @@ def conv3x3_s2d(xs, w, b=None, act: str = "none", reflect: bool = True):
     assert w.shape[:3] == (3, 3, Ci), (w.shape, xs.shape)
     out = _conv(xs, scatter_w3(w).astype(xs.dtype))
     if reflect:
-        H, W = 2 * Hs, 2 * Ws
-
-        def px(r, c):
-            return xs[:, r // 2, c // 2,
-                      ((r % 2) * 2 + (c % 2)) * Ci:
-                      ((r % 2) * 2 + (c % 2) + 1) * Ci]
-
-        out = _apply_reflect_fix(
-            out, w, Co,
-            _row_from_s2d(xs, 1, Ci), _row_from_s2d(xs, H - 2, Ci),
-            _col_from_s2d(xs, 1, Ci), _col_from_s2d(xs, W - 2, Ci),
-            (px(1, 1), px(H - 2, 1), px(1, W - 2), px(H - 2, W - 2)),
-        )
+        row1, rowm2, col1, colm2, corners = _s2d_borders(xs)
+        out = _apply_reflect_fix(out, w, Co, row1, rowm2, col1, colm2,
+                                 corners)
     return _finish(out, b, act)
 
 
@@ -246,27 +347,43 @@ def conv3x3_s2d_up(x_fr, skip_s2d, w, b=None, act: str = "none",
         H, W = 2 * Hs, 2 * Ws
 
         # borders of the virtual concat([up(x), skip]) input: nearest
-        # upsample maps full-res row r to x_fr[r // 2]
+        # upsample maps full-res row r to x_fr[r // 2]. Strip/corner reads
+        # go through the one-pass-VJP extractors (see _s2d_borders).
+        fr = _fr_borders(x_fr) if Cx else None
+        sk = _s2d_borders(skip_s2d) if Cs else None
+        # x_fr rows/cols that the four fix lines read: rows 1, H-2 ->
+        # block rows 0, Hs-1; cols 1, W-2 -> block cols 0, Ws-1
+        fr_row = {1: fr[0], H - 2: fr[1]} if Cx else None
+        fr_col = {1: fr[2], W - 2: fr[3]} if Cx else None
+        fr_px = ({(1, 1): fr[4][0], (H - 2, 1): fr[4][1],
+                  (1, W - 2): fr[4][2], (H - 2, W - 2): fr[4][3]}
+                 if Cx else None)
+        sk_row = {1: sk[0], H - 2: sk[1]} if Cs else None
+        sk_col = {1: sk[2], W - 2: sk[3]} if Cs else None
+        sk_px = ({(1, 1): sk[4][0], (H - 2, 1): sk[4][1],
+                  (1, W - 2): sk[4][2], (H - 2, W - 2): sk[4][3]}
+                 if Cs else None)
+
         def vrow(r):
-            parts = [x_fr[:, r // 2].repeat(2, axis=1)[:, :W]] if Cx else []
+            parts = [fr_row[r].repeat(2, axis=1)[:, :W]] if Cx else []
             if Cs:
-                parts.append(_row_from_s2d(skip_s2d, r, Cs))
-            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+                parts.append(sk_row[r])
+            return (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                    else parts[0])
 
         def vcol(c):
-            parts = [x_fr[:, :, c // 2].repeat(2, axis=1)[:, :H]] if Cx else []
+            parts = [fr_col[c].repeat(2, axis=1)[:, :H]] if Cx else []
             if Cs:
-                parts.append(_col_from_s2d(skip_s2d, c, Cs))
-            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+                parts.append(sk_col[c])
+            return (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                    else parts[0])
 
         def vpx(r, c):
-            parts = [x_fr[:, r // 2, c // 2]]
+            parts = [fr_px[(r, c)]] if Cx else []
             if Cs:
-                parts.append(
-                    skip_s2d[:, r // 2, c // 2,
-                             ((r % 2) * 2 + (c % 2)) * Cs:
-                             ((r % 2) * 2 + (c % 2) + 1) * Cs])
-            return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+                parts.append(sk_px[(r, c)])
+            return (jnp.concatenate(parts, axis=-1) if len(parts) > 1
+                    else parts[0])
 
         out = _apply_reflect_fix(
             out, w, Co, vrow(1), vrow(H - 2), vcol(1), vcol(W - 2),

@@ -25,8 +25,6 @@ def _host_cache_key() -> str:
         backend = jax.default_backend()
     except Exception:
         pass
-    if backend != "cpu":
-        return backend
     feats = ""
     model = ""
     try:
@@ -48,7 +46,9 @@ def _host_cache_key() -> str:
         pass
     h = hashlib.md5(
         f"{platform.machine()}|{model}|{feats}".encode()).hexdigest()[:10]
-    return f"cpu-{h}"
+    # TPU entries are keyed by host too: they embed host-side XLA:CPU AOT
+    # code whose loads fail (slowly, with SIGILL warnings) across machines
+    return f"{backend}-{h}"
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> None:
