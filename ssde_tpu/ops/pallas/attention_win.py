@@ -11,8 +11,8 @@ XLA executes the streaming-softmax formulation (models/attention.py) as
 ~27 separate HBM passes over the full map (9 shifted logits consumed
 twice, plus the exp/accumulate chain), and ``jax.checkpoint`` replays
 them all in backward — measured ~740 ms of the v9 GRU step at B=8,T=3.
-This kernel holds one row's window in VMEM: q, k, v are each read from
-HBM exactly once forward (q, k, v, g once + dq, dk, dv written once
+This kernel holds a row-block's window in VMEM: q, k, v are each read
+from HBM exactly once forward (q, k, v, g once + dq, dk, dv written once
 backward), with all 9 taps materialized as lane-rolls of the row band.
 
 Layout contract (same as ops/pallas/conv3x3): planar ``(B, H, C, W)`` —
@@ -23,6 +23,12 @@ conv output with the bias value, which is identical and keeps the ring's
 cotangent flowing back to the bias parameter through the pad's autodiff).
 All widths are chain-padded to a 128 multiple; ``wl`` is the logical
 output width (fill columns stay zero).
+
+Grid shape: a per-(b, row) grid is launch-bound (~8 us/program measured;
+19 ms for one B=8 192x640x32 fwd+bwd) — programs process an RH-row block
+instead, with the halo rows taken from the NEXT row-block via a second
+BlockSpec view (static in-kernel row selects; rows live on the
+outside-tile dim so slicing is free).
 
 Backward is a custom VJP: output row h's window reads padded rows
 h..h+2, so padded row rp receives contributions from output rows
@@ -82,109 +88,171 @@ def _softmax_rows(q, krows, rel):
 
 
 def _attn_out(logits, vrows):
-    """Streaming softmax + weighted value sum. Returns (out, e list, den)."""
+    """Streaming softmax + weighted value sum. Returns (out, e list, den,
+    v-tap list)."""
     m = logits[0]
     for l in logits[1:]:
         m = jnp.maximum(m, l)
-    es, den, num = [], None, None
+    es, vts, den, num = [], [], None, None
     for i in range(9):
         kh, kw = i // 3, i % 3
         e = jnp.exp(logits[i] - m)
         es.append(e)
         den = e if den is None else den + e
         vt = _roll_l(vrows[kh], kw)
+        vts.append(vt)
         num = e * vt if num is None else num + e * vt
-    return num / den, es, den
+    return num / den, es, den, vts
 
 
-def _fwd_kernel(wl, W, RB, q_ref, k0, k1, k2, v0, v1, v2, rel_ref, out_ref):
+def _fwd_kernel(wl, W, RB, RH, q_ref, k0, k1, v0, v1, rel_ref, out_ref):
     rel = rel_ref[...].astype(jnp.float32)
-    for r in range(RB):
-        q = q_ref[r, 0].astype(jnp.float32)
-        krows = [k0[r, 0].astype(jnp.float32), k1[r, 0].astype(jnp.float32),
-                 k2[r, 0].astype(jnp.float32)]
-        vrows = [v0[r, 0].astype(jnp.float32), v1[r, 0].astype(jnp.float32),
-                 v2[r, 0].astype(jnp.float32)]
-        logits, _ = _softmax_rows(q, krows, rel)
-        out, _, _ = _attn_out(logits, vrows)
-        if wl != W:
-            col = lax.broadcasted_iota(jnp.int32, out.shape, 1)
-            out = jnp.where(col < wl, out, 0.0)
-        out_ref[r, 0] = out.astype(out_ref.dtype)
+    col = None
+    for rb in range(RB):
+        # padded row j of this block's halo band (j in [0, RH+1])
+        def krow(j, a0=k0, a1=k1, _rb=rb):
+            ref = a0 if j < RH else a1
+            return ref[_rb, j % RH].astype(jnp.float32)
+
+        for r in range(RH):
+            q = q_ref[rb, r].astype(jnp.float32)
+            krows = [krow(r + j) for j in range(3)]
+            vrows = [krow(r + j, v0, v1) for j in range(3)]
+            logits, _ = _softmax_rows(q, krows, rel)
+            out, _, _, _ = _attn_out(logits, vrows)
+            if wl != W:
+                if col is None:
+                    col = lax.broadcasted_iota(jnp.int32, out.shape, 1)
+                out = jnp.where(col < wl, out, 0.0)
+            out_ref[rb, r] = out.astype(out_ref.dtype)
 
 
-def _bwd_kernel(H, wl, W, RB,
-                qm2, qm1, qm0, gm2, gm1, gm0,
-                km2, km1, k0, kp1, kp2, vm2, vm1, v0, vp1, vp2,
-                rel_ref, dq_ref, dk_ref, dv_ref, drel_ref):
-    rp = pl.program_id(1)
+def _bwd_kernel(H, wl, W, RB, RH,
+                q_ref, g_ref, kc_, kn_, vc_, vn_,
+                rel_ref, dq_ref, dk_ref, dv_ref, drel_ref,
+                ck_ref, cv_ref):
+    """One fwd recompute per OUTPUT row (not per padded row): tap (kh, kw)
+    of output row h = hb*RH + rr lands on padded row h + kh, i.e. local
+    rows rr..rr+2 — rows RH, RH+1 spill into the NEXT grid step's block
+    and ride the VMEM scratch carry (the grid iterates row-blocks fastest,
+    so the carry is hot when the next block reads it)."""
+    hb = pl.program_id(1)
 
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, rp == 0))
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, hb == 0))
     def _init():
         drel_ref[...] = jnp.zeros_like(drel_ref)
 
+    @pl.when(hb == 0)
+    def _reset_carry():
+        ck_ref[...] = jnp.zeros_like(ck_ref)
+        cv_ref[...] = jnp.zeros_like(cv_ref)
+
     rel = rel_ref[...].astype(jnp.float32)
     col = None
-    for r in range(RB):
-        qs = [qm2[r, 0], qm1[r, 0], qm0[r, 0]]
-        gs = [gm2[r, 0], gm1[r, 0], gm0[r, 0]]
-        ks = [km2[r, 0], km1[r, 0], k0[r, 0], kp1[r, 0], kp2[r, 0]]
-        vs = [vm2[r, 0], vm1[r, 0], v0[r, 0], vp1[r, 0], vp2[r, 0]]
-        dk_acc = jnp.zeros(dk_ref.shape[2:], jnp.float32)
-        dv_acc = jnp.zeros_like(dk_acc)
-        dq_row = jnp.zeros_like(dk_acc)
+    for rb in range(RB):
+        def krow(j, cur=kc_, nxt=kn_, _rb=rb):
+            # padded row hb*RH + j, j in [0, RH+1]
+            ref = cur if j < RH else nxt
+            return ref[_rb, j % RH].astype(jnp.float32)
+
+        zero = jnp.zeros(dk_ref.shape[2:], jnp.float32)
+        # sliding dk/dv accumulators for padded rows rr, rr+1, rr+2: row
+        # rr' > rr never touches padded row rr again, so it is emitted
+        # right after its last contribution — keeps 6 accumulator tiles
+        # live instead of 2*(RH+2) (the full-list variant spilled VMEM:
+        # 17.5 ms vs the forward's 1.4 at 8x192x640x32)
+        dk3 = [zero, zero, zero]
+        dv3 = [zero, zero, zero]
         drel_new = jnp.zeros(drel_ref.shape, jnp.float32)
         lane9 = lax.broadcasted_iota(jnp.int32, drel_ref.shape, 1)
-        # output rows contributing to padded row rp: h = rp - kh
-        for t in (2, 1, 0):          # h = rp - 2 + (2 - t)... iterate h
-            h = rp - t               # t = rp - h = the kh that hits row rp
-            q = qs[2 - t].astype(jnp.float32)
-            g = gs[2 - t].astype(jnp.float32)
+        for rr in range(RH):
+            h = hb * RH + rr
+            q = q_ref[rb, rr].astype(jnp.float32)
+            g = g_ref[rb, rr].astype(jnp.float32)
             if col is None:
                 col = lax.broadcasted_iota(jnp.int32, q.shape, 1)
             if wl != W:
                 g = jnp.where(col < wl, g, 0.0)
-            # zero all of row h's contributions when h is not a real
-            # output row (ring rows rp<2 / rp>H+... and the dq pad rows)
-            h_ok = jnp.logical_and(h >= 0, h <= H - 1)
-            g = jnp.where(h_ok, g, 0.0)
-            # kp rows h..h+2 live at ks[(h - (rp - 2)) + j] = ks[2 - t + j]
-            krows = [ks[2 - t + j].astype(jnp.float32) for j in range(3)]
-            vrows = [vs[2 - t + j].astype(jnp.float32) for j in range(3)]
-            logits, ktaps = _softmax_rows(q, krows, rel)
-            out, es, den = _attn_out(logits, vrows)
-            inv = 1.0 / den
+            # kill block-pad rows (h >= H) — their dq/dk/dv/drel are zero
+            g = jnp.where(h <= H - 1, g, 0.0)
+            krows = [krow(rr + j) for j in range(3)]
+            vrows = [krow(rr + j, vc_, vn_) for j in range(3)]
+            # pass 1: logits + running max (taps recomputed later — one
+            # roll each — instead of held live across the row)
+            logits, m = [], None
             for i in range(9):
                 kh, kw = i // 3, i % 3
-                s_i = es[i] * inv
-                u_i = s_i * g                                  # dv tap
+                l = q * (_roll_l(krows[kh], kw) + rel[i])
+                logits.append(l)
+                m = l if m is None else jnp.maximum(m, l)
+            # pass 2: exp in place + den/num
+            den = num = None
+            for i in range(9):
+                kh, kw = i // 3, i % 3
+                e = jnp.exp(logits[i] - m)
+                logits[i] = e
+                den = e if den is None else den + e
+                nv = e * _roll_l(vrows[kh], kw)
+                num = nv if num is None else num + nv
+            inv = 1.0 / den
+            out = num * inv
+            # pass 3: gradients
+            dq_row = zero
+            for i in range(9):
+                kh, kw = i // 3, i % 3
+                s_i = logits[i] * inv
+                u_i = s_i * g                                    # dv tap
                 vt = _roll_l(vrows[kh], kw)
-                dlog_i = u_i * (vt - out)                      # dlogit
-                a_i = dlog_i * q                               # dk tap
-                if t == 0:
-                    dq_row = dq_row + dlog_i * ktaps[i]
-                    dr = jnp.sum(dlog_i * q, axis=1, keepdims=True)  # (C,1)
-                    # scatter onto lane i of the (C, 9) accumulator tile
-                    # (lane-concat of 1-lane arrays is Mosaic-hostile)
-                    drel_new = drel_new + jnp.where(lane9 == i, dr, 0.0)
-                if kh == t:
-                    # tap (kh, kw) of output row h lands on padded row
-                    # h + kh == rp, padded col w + kw
-                    dk_acc = dk_acc + _roll_r(a_i, kw)
-                    dv_acc = dv_acc + _roll_r(u_i, kw)
-        dk_ref[r, 0] = dk_acc.astype(dk_ref.dtype)
-        dv_ref[r, 0] = dv_acc.astype(dv_ref.dtype)
-        dq_ref[r, 0] = dq_row.astype(dq_ref.dtype)
+                dlog_i = u_i * (vt - out)                        # dlogit
+                dq_row = dq_row + dlog_i * (_roll_l(krows[kh], kw) + rel[i])
+                dr = jnp.sum(dlog_i * q, axis=1, keepdims=True)
+                # scatter onto lane i of the (C, 9) accumulator tile
+                # (lane-concat of 1-lane arrays is Mosaic-hostile)
+                drel_new = drel_new + jnp.where(lane9 == i, dr, 0.0)
+                # tap (kh, kw) of output row h lands on padded local row
+                # rr + kh, padded col w + kw
+                dk3[kh] = dk3[kh] + _roll_r(dlog_i * q, kw)
+                dv3[kh] = dv3[kh] + _roll_r(u_i, kw)
+            dq_ref[rb, rr] = dq_row.astype(dq_ref.dtype)
+            # padded row rr is final: emit and slide the window
+            vk, vv = dk3[0], dv3[0]
+            if rr < 2:
+                vk = vk + ck_ref[rb, rr]
+                vv = vv + cv_ref[rb, rr]
+            dk_ref[rb, rr] = vk.astype(dk_ref.dtype)
+            dv_ref[rb, rr] = vv.astype(dv_ref.dtype)
+            dk3 = [dk3[1], dk3[2], zero]
+            dv3 = [dv3[1], dv3[2], zero]
+        for j in range(2):
+            ck_ref[rb, j] = dk3[j]
+            cv_ref[rb, j] = dv3[j]
         drel_ref[...] += drel_new
 
 
-def _rb(B, C, W, n_bufs):
-    budget = 10 * 2**20
-    per_item = n_bufs * C * W * 4
-    for rb in (8, 4, 2):
-        if B % rb == 0 and rb * per_item < budget:
-            return rb
-    return 1
+def _block_plan(B, C, W, n_views):
+    """(RB, RH) such that the double-buffered views + f32 temporaries fit
+    scoped VMEM. Views are bf16/f32 row-blocks (RH, C, W); temps are
+    ~30 (C, W) f32 tiles independent of RH."""
+    # the hard scoped-vmem limit is 16M; the estimate below undercounts
+    # Mosaic's actual stack by ~1.6x at big C*W (measured 16.42M for an
+    # 8.5M estimate at C=256, W=128, RH=8) — keep generous headroom
+    budget = 7 * 2**20
+    for rb, rh in ((2, 8), (1, 8), (1, 4), (1, 2)):
+        # ~30 live f32 row tiles: 9 logits, the 6 sliding dk/dv
+        # accumulators + carry scratch, q/g/krows/vrows, misc
+        temps = 30 * C * W * 4
+        views = n_views * rb * rh * C * W * 2 * 2   # bf16, double-buffered
+        if B % rb == 0 and views + temps < budget:
+            return rb, rh
+    return 1, 2   # the bwd carry needs RH >= 2
+
+
+def _pad_rows(x, n):
+    """Append n zero rows (axis 1)."""
+    if n == 0:
+        return x
+    B, _, C, W = x.shape
+    return jnp.concatenate([x, jnp.zeros((B, n, C, W), x.dtype)], axis=1)
 
 
 def fits_attend3(H, C, W):
@@ -200,19 +268,31 @@ def _attend3_core(q, kp, vp, rel, wl, interpret):
 
 def _attend3_fwd_call(q, kp, vp, rel, wl, interpret):
     B, H, C, W = q.shape
-    RB = _rb(B, C, W, 30)
-    row = lambda d: (lambda b, h: (b, h + d, 0, 0))
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, wl, W, RB),
-        grid=(B // RB, H),
-        in_specs=[pl.BlockSpec((RB, 1, C, W), row(0))] +
-                 [pl.BlockSpec((RB, 1, C, W), row(d)) for d in (0, 1, 2)] +
-                 [pl.BlockSpec((RB, 1, C, W), row(d)) for d in (0, 1, 2)] +
-                 [pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
-        out_specs=pl.BlockSpec((RB, 1, C, W), row(0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, C, W), q.dtype),
+    RB, RH = _block_plan(B, C, W, 6)
+    nh = -(-H // RH)                    # output row-blocks
+    qf = _pad_rows(q, nh * RH - H)
+    # k/v blocks: block hb serves output rows [hb*RH, hb*RH+RH) reading
+    # padded rows [hb*RH, hb*RH+RH+1] — block hb plus the first two rows
+    # of block hb+1, so the arrays need (nh+1) blocks of rows
+    kf = _pad_rows(kp, (nh + 1) * RH - (H + 2))
+    vf = _pad_rows(vp, (nh + 1) * RH - (H + 2))
+    blk = lambda d: (lambda b, h: (b, h + d, 0, 0))
+    nkb = nh + 1
+    nxt = lambda b, h: (b, jnp.minimum(h + 1, nkb - 1), 0, 0)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, wl, W, RB, RH),
+        grid=(B // RB, nh),
+        in_specs=[pl.BlockSpec((RB, RH, C, W), blk(0)),
+                  pl.BlockSpec((RB, RH, C, W), blk(0)),
+                  pl.BlockSpec((RB, RH, C, W), nxt),
+                  pl.BlockSpec((RB, RH, C, W), blk(0)),
+                  pl.BlockSpec((RB, RH, C, W), nxt),
+                  pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
+        out_specs=pl.BlockSpec((RB, RH, C, W), blk(0)),
+        out_shape=jax.ShapeDtypeStruct((B, nh * RH, C, W), q.dtype),
         interpret=interpret,
-    )(q, kp, kp, kp, vp, vp, vp, rel)
+    )(qf, kf, kf, vf, vf, rel)
+    return out[:, :H]
 
 
 def _attend3_fwd(q, kp, vp, rel, wl, interpret):
@@ -223,40 +303,43 @@ def _attend3_fwd(q, kp, vp, rel, wl, interpret):
 def _attend3_bwd(wl, interpret, saved, g):
     q, kp, vp, rel = saved
     B, H, C, W = q.shape
+    RB, RH = _block_plan(B, C, W, 6)
     Hp = H + 2
-    RB = _rb(B, C, W, 60)
-    # pad q/g to Hp rows so every ref indexes with the same padded row id
-    zrow = jnp.zeros((B, 2, C, W), q.dtype)
-    qp2 = jnp.concatenate([q, zrow], axis=1)
-    gp2 = jnp.concatenate([g.astype(q.dtype), zrow], axis=1)
+    nh = -(-Hp // RH)                   # padded-row blocks (dk/dv coverage)
+    rows = nh * RH
+    # q/g padded to the padded-row grid (their block ids coincide with the
+    # dk/dv block ids — output row h's taps land on padded rows h..h+2);
+    # k/v get one extra block for the +2 halo
+    qf = _pad_rows(q, rows - H)
+    gf = _pad_rows(g.astype(q.dtype), rows - H)
+    kf = _pad_rows(kp, (nh + 1) * RH - Hp)
+    vf = _pad_rows(vp, (nh + 1) * RH - Hp)
 
-    def rowc(d):
-        # padded-row view rp + d, clamped into [0, Hp)
-        return lambda b, h: (b, jnp.clip(h + d, 0, Hp - 1), 0, 0)
+    cur = lambda b, h: (b, h, 0, 0)
+    nxt = lambda b, h: (b, jnp.minimum(h + 1, nh), 0, 0)
 
-    kinds = [jax.ShapeDtypeStruct((B, Hp, C, W), q.dtype),   # dq (padded H)
-             jax.ShapeDtypeStruct((B, Hp, C, W), kp.dtype),  # dk
-             jax.ShapeDtypeStruct((B, Hp, C, W), vp.dtype),  # dv
-             jax.ShapeDtypeStruct((C, 9), jnp.float32)]      # drel acc
+    spec = lambda m: pl.BlockSpec((RB, RH, C, W), m)
+    kinds = [jax.ShapeDtypeStruct((B, rows, C, W), q.dtype),   # dq (padded)
+             jax.ShapeDtypeStruct((B, rows, C, W), kp.dtype),  # dk
+             jax.ShapeDtypeStruct((B, rows, C, W), vp.dtype),  # dv
+             jax.ShapeDtypeStruct((C, 9), jnp.float32)]        # drel acc
     dqp, dk, dv, drel = pl.pallas_call(
-        functools.partial(_bwd_kernel, H, wl, W, RB),
-        grid=(B // RB, Hp),
-        in_specs=[pl.BlockSpec((RB, 1, C, W), rowc(d))
-                  for d in (-2, -1, 0)] * 2 +
-                 [pl.BlockSpec((RB, 1, C, W), rowc(d))
-                  for d in (-2, -1, 0, 1, 2)] * 2 +
-                 [pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
-        out_specs=[pl.BlockSpec((RB, 1, C, W), rowc(0)),
-                   pl.BlockSpec((RB, 1, C, W), rowc(0)),
-                   pl.BlockSpec((RB, 1, C, W), rowc(0)),
+        functools.partial(_bwd_kernel, H, wl, W, RB, RH),
+        grid=(B // RB, nh),
+        in_specs=[spec(cur), spec(cur),
+                  spec(cur), spec(nxt),
+                  spec(cur), spec(nxt),
+                  pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
+        out_specs=[spec(cur), spec(cur), spec(cur),
                    pl.BlockSpec((C, 9), lambda b, h: (0, 0))],
         out_shape=kinds,
+        scratch_shapes=[pltpu.VMEM((RB, 2, C, W), jnp.float32),
+                        pltpu.VMEM((RB, 2, C, W), jnp.float32)],
         interpret=interpret,
-    )(qp2, qp2, qp2, gp2, gp2, gp2, kp, kp, kp, kp, kp,
-      vp, vp, vp, vp, vp, rel)
+    )(qf, gf, kf, kf, vf, vf, rel)
     dq = dqp[:, :H]
     drel = jnp.transpose(drel, (1, 0))[:, :, None].astype(rel.dtype)  # (9,C,1)
-    return dq.astype(q.dtype), dk, dv, drel
+    return dq.astype(q.dtype), dk[:, :Hp], dv[:, :Hp], drel
 
 
 _attend3_core.defvjp(_attend3_fwd, _attend3_bwd)
