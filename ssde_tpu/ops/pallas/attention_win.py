@@ -30,11 +30,20 @@ instead, with the halo rows taken from the NEXT row-block via a second
 BlockSpec view (static in-kernel row selects; rows live on the
 outside-tile dim so slicing is free).
 
-Backward is a custom VJP: output row h's window reads padded rows
-h..h+2, so padded row rp receives contributions from output rows
-rp-2..rp; the backward kernel recomputes the (cheap, VMEM-resident)
-softmax for those three rows from a 5-row halo and assembles dq, dk, dv
-in one pass. drel accumulates across the grid like conv3x3's dW.
+Backward is a custom VJP fed by SAVED forward products: the forward
+emits the 9 softmax weights (as a (RB, RH, 9C, W) block) next to the
+output, and the backward consumes s and out directly — no logits/max/exp
+recompute (the recompute variant was VPU-arithmetic-bound: 16 ms bwd vs
+1.4 ms fwd at 8x192x640x32; the saved-s backward measures ~3.3 ms).
+Output row h's window reads padded rows h..h+2, so padded row rp
+receives contributions from output rows rp-2..rp; sliding per-row dk/dv
+accumulators emit each padded row right after its last contribution,
+with the two block-boundary rows riding a VMEM scratch carry into the
+next grid step. drel accumulates across the grid like conv3x3's dW.
+The s9 residual is (B, H+pad, 9C, W) in the input dtype — large at
+scale 0 (~680 MB at the v9 flagship shape) but transient: the GRU scan
+body is rematerialized, so it lives only inside one timestep's backward
+segment.
 """
 
 from __future__ import annotations
@@ -105,8 +114,14 @@ def _attn_out(logits, vrows):
     return num / den, es, den, vts
 
 
-def _fwd_kernel(wl, W, RB, RH, q_ref, k0, k1, v0, v1, rel_ref, out_ref):
+def _fwd_kernel(wl, W, RB, RH, want_s, q_ref, k0, k1, v0, v1, rel_ref,
+                out_ref, *s_ref):
+    """Forward; with ``want_s`` also emits the 9 softmax weights (as a
+    (RB, RH, 9C, W) block) so the backward can skip the logits/max/exp
+    recompute — the backward is VPU-arithmetic-bound (fwd 1.4 ms vs bwd
+    16 ms at 8x192x640x32 when it recomputes the softmax)."""
     rel = rel_ref[...].astype(jnp.float32)
+    C = q_ref.shape[2]
     col = None
     for rb in range(RB):
         # padded row j of this block's halo band (j in [0, RH+1])
@@ -119,7 +134,12 @@ def _fwd_kernel(wl, W, RB, RH, q_ref, k0, k1, v0, v1, rel_ref, out_ref):
             krows = [krow(r + j) for j in range(3)]
             vrows = [krow(r + j, v0, v1) for j in range(3)]
             logits, _ = _softmax_rows(q, krows, rel)
-            out, _, _, _ = _attn_out(logits, vrows)
+            out, es, den, _ = _attn_out(logits, vrows)
+            if want_s:
+                inv = 1.0 / den
+                for i in range(9):
+                    s_ref[0][rb, r, i * C:(i + 1) * C] = (
+                        es[i] * inv).astype(s_ref[0].dtype)
             if wl != W:
                 if col is None:
                     col = lax.broadcasted_iota(jnp.int32, out.shape, 1)
@@ -128,14 +148,15 @@ def _fwd_kernel(wl, W, RB, RH, q_ref, k0, k1, v0, v1, rel_ref, out_ref):
 
 
 def _bwd_kernel(H, wl, W, RB, RH,
-                q_ref, g_ref, kc_, kn_, vc_, vn_,
+                q_ref, g_ref, kc_, kn_, vc_, vn_, s_ref, out_ref,
                 rel_ref, dq_ref, dk_ref, dv_ref, drel_ref,
                 ck_ref, cv_ref):
-    """One fwd recompute per OUTPUT row (not per padded row): tap (kh, kw)
-    of output row h = hb*RH + rr lands on padded row h + kh, i.e. local
-    rows rr..rr+2 — rows RH, RH+1 spill into the NEXT grid step's block
-    and ride the VMEM scratch carry (the grid iterates row-blocks fastest,
-    so the carry is hot when the next block reads it)."""
+    """Backward from the SAVED softmax weights (s_ref) and output: no
+    logits/max/exp recompute. Tap (kh, kw) of output row h = hb*RH + rr
+    lands on padded row h + kh, i.e. local rows rr..rr+2 — rows RH, RH+1
+    spill into the NEXT grid step's block and ride the VMEM scratch carry
+    (the grid iterates row-blocks fastest, so the carry is hot when the
+    next block reads it)."""
     hb = pl.program_id(1)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, hb == 0))
@@ -148,6 +169,7 @@ def _bwd_kernel(H, wl, W, RB, RH,
         cv_ref[...] = jnp.zeros_like(cv_ref)
 
     rel = rel_ref[...].astype(jnp.float32)
+    C = q_ref.shape[2]
     col = None
     for rb in range(RB):
         def krow(j, cur=kc_, nxt=kn_, _rb=rb):
@@ -159,16 +181,19 @@ def _bwd_kernel(H, wl, W, RB, RH,
         # sliding dk/dv accumulators for padded rows rr, rr+1, rr+2: row
         # rr' > rr never touches padded row rr again, so it is emitted
         # right after its last contribution — keeps 6 accumulator tiles
-        # live instead of 2*(RH+2) (the full-list variant spilled VMEM:
-        # 17.5 ms vs the forward's 1.4 at 8x192x640x32)
+        # live instead of 2*(RH+2)
         dk3 = [zero, zero, zero]
         dv3 = [zero, zero, zero]
-        drel_new = jnp.zeros(drel_ref.shape, jnp.float32)
-        lane9 = lax.broadcasted_iota(jnp.int32, drel_ref.shape, 1)
+        # per-window drel accumulated as full tiles across the block's
+        # rows; ONE lane-reduction per window per program at the end
+        # (lane reductions are cross-lane-unit serialized — doing them
+        # per row costs 9*RH of them)
+        drel9 = [zero] * 9
         for rr in range(RH):
             h = hb * RH + rr
             q = q_ref[rb, rr].astype(jnp.float32)
             g = g_ref[rb, rr].astype(jnp.float32)
+            out = out_ref[rb, rr].astype(jnp.float32)
             if col is None:
                 col = lax.broadcasted_iota(jnp.int32, q.shape, 1)
             if wl != W:
@@ -177,41 +202,19 @@ def _bwd_kernel(H, wl, W, RB, RH,
             g = jnp.where(h <= H - 1, g, 0.0)
             krows = [krow(rr + j) for j in range(3)]
             vrows = [krow(rr + j, vc_, vn_) for j in range(3)]
-            # pass 1: logits + running max (taps recomputed later — one
-            # roll each — instead of held live across the row)
-            logits, m = [], None
-            for i in range(9):
-                kh, kw = i // 3, i % 3
-                l = q * (_roll_l(krows[kh], kw) + rel[i])
-                logits.append(l)
-                m = l if m is None else jnp.maximum(m, l)
-            # pass 2: exp in place + den/num
-            den = num = None
-            for i in range(9):
-                kh, kw = i // 3, i % 3
-                e = jnp.exp(logits[i] - m)
-                logits[i] = e
-                den = e if den is None else den + e
-                nv = e * _roll_l(vrows[kh], kw)
-                num = nv if num is None else num + nv
-            inv = 1.0 / den
-            out = num * inv
-            # pass 3: gradients
             dq_row = zero
             for i in range(9):
                 kh, kw = i // 3, i % 3
-                s_i = logits[i] * inv
+                s_i = s_ref[rb, rr, i * C:(i + 1) * C].astype(jnp.float32)
                 u_i = s_i * g                                    # dv tap
                 vt = _roll_l(vrows[kh], kw)
                 dlog_i = u_i * (vt - out)                        # dlogit
                 dq_row = dq_row + dlog_i * (_roll_l(krows[kh], kw) + rel[i])
-                dr = jnp.sum(dlog_i * q, axis=1, keepdims=True)
-                # scatter onto lane i of the (C, 9) accumulator tile
-                # (lane-concat of 1-lane arrays is Mosaic-hostile)
-                drel_new = drel_new + jnp.where(lane9 == i, dr, 0.0)
+                a_i = dlog_i * q
+                drel9[i] = drel9[i] + a_i
                 # tap (kh, kw) of output row h lands on padded local row
                 # rr + kh, padded col w + kw
-                dk3[kh] = dk3[kh] + _roll_r(dlog_i * q, kw)
+                dk3[kh] = dk3[kh] + _roll_r(a_i, kw)
                 dv3[kh] = dv3[kh] + _roll_r(u_i, kw)
             dq_ref[rb, rr] = dq_row.astype(dq_ref.dtype)
             # padded row rr is final: emit and slide the window
@@ -226,6 +229,13 @@ def _bwd_kernel(H, wl, W, RB, RH,
         for j in range(2):
             ck_ref[rb, j] = dk3[j]
             cv_ref[rb, j] = dv3[j]
+        lane9 = lax.broadcasted_iota(jnp.int32, drel_ref.shape, 1)
+        drel_new = jnp.zeros(drel_ref.shape, jnp.float32)
+        for i in range(9):
+            dr = jnp.sum(drel9[i], axis=1, keepdims=True)       # (C, 1)
+            # scatter onto lane i of the (C, 9) accumulator tile
+            # (lane-concat of 1-lane arrays is Mosaic-hostile)
+            drel_new = drel_new + jnp.where(lane9 == i, dr, 0.0)
         drel_ref[...] += drel_new
 
 
@@ -266,10 +276,13 @@ def _attend3_core(q, kp, vp, rel, wl, interpret):
     return _attend3_fwd_call(q, kp, vp, rel, wl, interpret)
 
 
-def _attend3_fwd_call(q, kp, vp, rel, wl, interpret):
+def _attend3_fwd_call(q, kp, vp, rel, wl, interpret, want_s=False,
+                      plan=None):
     B, H, C, W = q.shape
-    RB, RH = _block_plan(B, C, W, 6)
-    nh = -(-H // RH)                    # output row-blocks
+    RB, RH = plan or _block_plan(B, C, W, 6)
+    # want_s pads the output grid to the bwd's padded-row grid so the
+    # saved s/out feed the backward without a repack
+    nh = -(-(H + 2) // RH) if want_s else -(-H // RH)
     qf = _pad_rows(q, nh * RH - H)
     # k/v blocks: block hb serves output rows [hb*RH, hb*RH+RH) reading
     # padded rows [hb*RH, hb*RH+RH+1] — block hb plus the first two rows
@@ -279,8 +292,14 @@ def _attend3_fwd_call(q, kp, vp, rel, wl, interpret):
     blk = lambda d: (lambda b, h: (b, h + d, 0, 0))
     nkb = nh + 1
     nxt = lambda b, h: (b, jnp.minimum(h + 1, nkb - 1), 0, 0)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, wl, W, RB, RH),
+    out_specs = [pl.BlockSpec((RB, RH, C, W), blk(0))]
+    out_shape = [jax.ShapeDtypeStruct((B, nh * RH, C, W), q.dtype)]
+    if want_s:
+        out_specs.append(pl.BlockSpec((RB, RH, 9 * C, W), blk(0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((B, nh * RH, 9 * C, W), q.dtype))
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel, wl, W, RB, RH, want_s),
         grid=(B // RB, nh),
         in_specs=[pl.BlockSpec((RB, RH, C, W), blk(0)),
                   pl.BlockSpec((RB, RH, C, W), blk(0)),
@@ -288,25 +307,36 @@ def _attend3_fwd_call(q, kp, vp, rel, wl, interpret):
                   pl.BlockSpec((RB, RH, C, W), blk(0)),
                   pl.BlockSpec((RB, RH, C, W), nxt),
                   pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
-        out_specs=pl.BlockSpec((RB, RH, C, W), blk(0)),
-        out_shape=jax.ShapeDtypeStruct((B, nh * RH, C, W), q.dtype),
+        out_specs=out_specs if want_s else out_specs[0],
+        out_shape=out_shape if want_s else out_shape[0],
         interpret=interpret,
     )(qf, kf, kf, vf, vf, rel)
-    return out[:, :H]
+    if want_s:
+        return res[0], res[1]           # padded rows; bwd consumes as-is
+    return res[:, :H]
+
+
+def _plan_s(B, C, W):
+    """Shared block plan for the saved-softmax fwd/bwd pair (the s tile
+    counts as 9 view-equivalents)."""
+    return _block_plan(B, C, W, 16)
 
 
 def _attend3_fwd(q, kp, vp, rel, wl, interpret):
-    out = _attend3_core(q, kp, vp, rel, wl, interpret)
-    return out, (q, kp, vp, rel)
+    B, H, C, W = q.shape
+    outp, s9 = _attend3_fwd_call(q, kp, vp, rel, wl, interpret,
+                                 want_s=True, plan=_plan_s(B, C, W))
+    return outp[:, :H], (q, kp, vp, rel, s9, outp)
 
 
 def _attend3_bwd(wl, interpret, saved, g):
-    q, kp, vp, rel = saved
+    q, kp, vp, rel, s9, outp = saved
     B, H, C, W = q.shape
-    RB, RH = _block_plan(B, C, W, 6)
+    RB, RH = _plan_s(B, C, W)
     Hp = H + 2
     nh = -(-Hp // RH)                   # padded-row blocks (dk/dv coverage)
     rows = nh * RH
+    assert s9.shape[1] == rows and outp.shape[1] == rows
     # q/g padded to the padded-row grid (their block ids coincide with the
     # dk/dv block ids — output row h's taps land on padded rows h..h+2);
     # k/v get one extra block for the +2 halo
@@ -329,6 +359,8 @@ def _attend3_bwd(wl, interpret, saved, g):
         in_specs=[spec(cur), spec(cur),
                   spec(cur), spec(nxt),
                   spec(cur), spec(nxt),
+                  pl.BlockSpec((RB, RH, 9 * C, W), cur),
+                  spec(cur),
                   pl.BlockSpec((9, C, 1), lambda b, h: (0, 0, 0))],
         out_specs=[spec(cur), spec(cur), spec(cur),
                    pl.BlockSpec((C, 9), lambda b, h: (0, 0))],
@@ -336,7 +368,7 @@ def _attend3_bwd(wl, interpret, saved, g):
         scratch_shapes=[pltpu.VMEM((RB, 2, C, W), jnp.float32),
                         pltpu.VMEM((RB, 2, C, W), jnp.float32)],
         interpret=interpret,
-    )(qf, gf, kf, kf, vf, vf, rel)
+    )(qf, gf, kf, kf, vf, vf, s9, outp, rel)
     dq = dqp[:, :H]
     drel = jnp.transpose(drel, (1, 0))[:, :, None].astype(rel.dtype)  # (9,C,1)
     return dq.astype(q.dtype), dk[:, :Hp], dv[:, :Hp], drel
