@@ -78,6 +78,29 @@ def main():
         results[name] = round(ms, 2)
         print(f"{name:22s} {ms:8.2f} ms", flush=True)
 
+    from ssde_tpu.ops.s2d import conv3x3_s2d, space_to_depth
+
+    def cell_s2d(p, xs, hs, cx, hid):
+        """Shape-exact s2d-view GRU cell: all tensors live in the group-
+        major s2d view (B, Hs/2, Ws/2, 4C); zero-pad convs via
+        conv3x3_s2d(reflect=False); gate math is layout-agnostic."""
+        cp = p["params"]
+        kg, bg = cp["conv_gates"]["kernel"], cp["conv_gates"]["bias"]
+        kc, bc = cp["conv_can"]["kernel"], cp["conv_can"]["bias"]
+        kx = jnp.concatenate([kg[:, :, :cx], kc[:, :, :cx]], axis=-1)
+        bx = jnp.concatenate([bg, bc])
+        B_, Hb, Wb, _ = xs.shape
+        xsum = conv3x3_s2d(xs, kx.astype(dt), bx.astype(dt), reflect=False)
+        hsum = conv3x3_s2d(hs, kg[:, :, cx:].astype(dt), reflect=False)
+        # group-major channels: per-group slice needs the (4, 3*hid) view
+        xsr = xsum.reshape(B_, Hb, Wb, 4, 3 * hid)
+        gsum = xsr[..., : 2 * hid] + hsum.reshape(B_, Hb, Wb, 4, 2 * hid)
+        reset = jax.nn.sigmoid(gsum[..., :hid]).reshape(hs.shape)
+        update = jax.nn.sigmoid(gsum[..., hid:]).reshape(hs.shape)
+        ch = conv3x3_s2d(reset * hs, kc[:, :, cx:].astype(dt), reflect=False)
+        cand = jnp.tanh(xsr[..., 2 * hid:].reshape(hs.shape) + ch)
+        return (1.0 - update) * hs + update * cand
+
     for s, (Hs, Ws, cx, hid, ff) in enumerate(scales):
         x = jnp.asarray(rng.rand(B, Hs, Ws, cx).astype(np.float32)).astype(dt)
         h = jnp.asarray(rng.rand(B, Hs, Ws, hid).astype(np.float32)).astype(dt)
@@ -93,13 +116,20 @@ def main():
 
             run(f"cell_s{s}_{mode}", cf, cp, x, h)
 
+        xs2, hs2 = space_to_depth(x), space_to_depth(h)
+        run(f"cell_s{s}_s2d",
+            lambda p, a, b, _cx=cx, _hid=hid: cell_s2d(p, a, b, _cx, _hid),
+            cp, xs2, hs2)
+
         os.environ["SSDE_PLANAR_GRU"] = "0"
-        fus = GRUFusionBlock_v2(ff, up=(s > 0), attention=False, dtype=dt)
         f1 = jnp.asarray(rng.rand(B, Hs, Ws, ff).astype(np.float32)).astype(dt)
         f2 = jnp.asarray(rng.rand(B, Hs, Ws, ff).astype(np.float32)).astype(dt)
-        fp = fus.init(jax.random.PRNGKey(10 + s), f1, f2)
-        run(f"fusion_s{s}_nhwc", lambda p, a, b, _f=fus: _f.apply(p, a, b),
-            fp, f1, f2)
+        for att in (False, True):
+            fus = GRUFusionBlock_v2(ff, up=(s > 0), attention=att, dtype=dt)
+            fp = fus.init(jax.random.PRNGKey(10 + s), f1, f2)
+            tag = "att" if att else "nhwc"
+            run(f"fusion_s{s}_{tag}",
+                lambda p, a, b, _f=fus: _f.apply(p, a, b), fp, f1, f2)
 
     print(json.dumps(results))
 

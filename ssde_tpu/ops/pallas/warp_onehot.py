@@ -36,11 +36,17 @@ except ImportError:  # pragma: no cover
     _PALLAS_OK = False
 
 from .warp_banded import (
-    VBAND,
     _grad_masks,
     _taps_mxu_reference,
     _unnormalize_clamped,
 )
+
+# This kernel floors each row's band start to a multiple of 8 (dynamic
+# sublane slices must be 8-aligned), which costs up to 7 rows of the
+# band, so it needs its own 16-row band: warp_banded.VBAND is 8 since
+# the banded kernel switched to roll-aligned bands with NO alignment
+# slack — sharing that constant silently clamped ~1/8 of output rows.
+VBAND = 16
 
 
 def _onehot_kernel(C: int, H: int, W: int, chunk: int,
