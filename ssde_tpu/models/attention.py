@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .common import _ConvParams
+
 _kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
@@ -83,33 +85,68 @@ class AttentionConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, planar: bool = False, wl: int = 0):
+        """``planar=True`` takes/returns chain-padded planar (B, H, C, W)
+        tensors with logical width ``wl`` (zero fill past wl) and runs the
+        whole call in planar layout — the q/k/v 1x1 convs become planar
+        einsums feeding the fused kernel directly, so no NHWC<->planar
+        relayouts materialize at the pallas_call boundaries (measured
+        ~12 ms of the 16.7 ms module cost at 8x192x640x32: XLA fuses
+        transposes into elementwise consumers but must materialize them
+        at custom-call operands/results)."""
         k = self.kernel_size
         C = self.out_channels
         pad = (k - 1) // 2
+        Cin = x.shape[2] if planar else x.shape[-1]
 
-        query_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
-                             kernel_init=_kaiming_out, dtype=self.dtype,
-                             name="query_conv")
-        key_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
-                           kernel_init=_kaiming_out, dtype=self.dtype,
-                           name="key_conv")
-        value_conv = nn.Conv(C, (1, 1), use_bias=self.use_bias,
-                             kernel_init=_kaiming_out, dtype=self.dtype,
-                             name="value_conv")
-
-        from ..ops.pallas.attention_win import attend3, fits_attend3
-
-        Bx, Hx, Wx, Cin = x.shape
-        if k == 3 and _attn_kernel_enabled() and fits_attend3(Hx, C, Wx):
-            return self._kernel_path(x, query_conv, key_conv, value_conv)
-
-        q = query_conv(x)
-        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-        key = key_conv(xp)
-        val = value_conv(xp)
-
+        # nn.Conv-layout params (1, 1, Cin, C) so checkpoints/converters
+        # are unchanged; the conv itself is x @ w[0,0] + b in either layout
+        wq, bq = _ConvParams((1, 1, Cin, C), self.use_bias,
+                             kernel_init=_kaiming_out, name="query_conv")()
+        wk, bk = _ConvParams((1, 1, Cin, C), self.use_bias,
+                             kernel_init=_kaiming_out, name="key_conv")()
+        wv, bv = _ConvParams((1, 1, Cin, C), self.use_bias,
+                             kernel_init=_kaiming_out, name="value_conv")()
+        dt = self.dtype or x.dtype
+        wq, wk, wv = (w[0, 0].astype(dt) for w in (wq, wk, wv))
+        zb = jnp.zeros((C,), dt)
+        bq, bk, bv = (zb if b is None else b.astype(dt)
+                      for b in (bq, bk, bv))
+        xc = x.astype(dt)
         rel = self._rel_table(k, C)
+
+        from ..ops.pallas.attention_win import fits_attend3
+
+        if planar:
+            wl = wl or x.shape[3]
+            if (k == 3 and _attn_kernel_enabled()
+                    and fits_attend3(x.shape[1], C, wl)):
+                return self._planar_kernel(xc, wl, wq, bq, wk, bk, wv, bv,
+                                           rel)
+            # CPU/no-kernel fallback: run the streaming path on the
+            # logical columns, back in NHWC
+            out = self._streaming(xc[..., :wl].transpose(0, 1, 3, 2),
+                                  wq, bq, wk, bk, wv, bv, rel)
+            out = out.transpose(0, 1, 3, 2)
+            if out.shape[3] < x.shape[3]:
+                out = jnp.pad(out, ((0, 0),) * 3
+                              + ((0, x.shape[3] - out.shape[3]),))
+            return out
+
+        Hx, Wx = x.shape[1], x.shape[2]
+        if k == 3 and _attn_kernel_enabled() and fits_attend3(Hx, C, Wx):
+            return self._kernel_path(xc, wq, bq, wk, bk, wv, bv, rel)
+        return self._streaming(xc, wq, bq, wk, bk, wv, bv, rel)
+
+    def _streaming(self, xc, wq, bq, wk, bk, wv, bv, rel):
+        k = self.kernel_size
+        pad = (k - 1) // 2
+        q = xc @ wq + bq
+        xp = jnp.pad(xc, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        # 1x1 convs applied to the zero-padded input: the pad ring
+        # carries the bias, exactly like the reference
+        key = xp @ wk + bk
+        val = xp @ wv + bv
 
         # streaming softmax over the k^2 window WITHOUT materializing a
         # (B, H, W, k2, C) window tensor: with the small channel counts of
@@ -167,30 +204,43 @@ class AttentionConv(nn.Module):
         rw = jnp.tile(rel_w, (1, k))                       # (C/2, k2) by col
         return jnp.concatenate([rh, rw], axis=0).T         # (k2, C)
 
-    def _kernel_path(self, x, query_conv, key_conv, value_conv):
-        """Fused Pallas path: 1x1 convs on the UNPADDED input (identical
-        params), bias carried on the pad ring (see _pad_ring), one fused
-        windowed-softmax kernel in planar layout."""
+    def _kernel_path(self, x, wq, bq, wk, bk, wv, bv, rel):
+        """Fused Pallas path, NHWC in/out: 1x1 convs on the UNPADDED input
+        (identical params), bias carried on the pad ring (see _pad_ring),
+        one fused windowed-softmax kernel in planar layout."""
         from ..ops.pallas.attention_win import attend3
 
-        C = self.out_channels
-        Cin = x.shape[-1]
-        q = query_conv(x)
-        key = key_conv(x)
-        val = value_conv(x)
-        if self.use_bias:
-            zero = jnp.zeros((1, 1, 1, Cin), x.dtype)
-            bk = key_conv(zero)[0, 0, 0]
-            bv = value_conv(zero)[0, 0, 0]
-        else:
-            bk = bv = jnp.zeros((C,), x.dtype)
-        rel = self._rel_table(3, C)
+        q = x @ wq + bq
+        key = x @ wk + bk
+        val = x @ wv + bv
         qp = q.transpose(0, 1, 3, 2)                       # (B, H, C, W)
         kp = _pad_ring(key.transpose(0, 1, 3, 2), bk)
         vp = _pad_ring(val.transpose(0, 1, 3, 2), bv)
         out = attend3(qp, kp, vp, rel,
                       interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
         return out.transpose(0, 1, 3, 2)
+
+    def _planar_kernel(self, x, wl, wq, bq, wk, bk, wv, bv, rel):
+        """Fused Pallas path, chain-padded planar in/out: the 1x1 convs
+        run as planar matmuls (einsum over the C dim, W on lanes) so the
+        kernel's operands are produced in their native layout — no
+        NHWC<->planar relayouts materialize anywhere."""
+        from ..ops.pallas.attention_win import attend3
+
+        wp = x.shape[3]
+        xl = x[..., :wl] if wl < wp else x
+
+        def mm(w, b):
+            return jnp.einsum("dc,bhcw->bhdw", w.T, xl) + b[:, None]
+
+        q, key, val = mm(wq, bq), mm(wk, bk), mm(wv, bv)
+        kp = _pad_ring(key, bk)
+        vp = _pad_ring(val, bv)
+        out = attend3(q, kp, vp, rel,
+                      interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+        if wl < wp:
+            out = jnp.pad(out, ((0, 0),) * 3 + ((0, wp - wl),))
+        return out
 
 
 class AttentionStem(nn.Module):
@@ -257,7 +307,7 @@ class ResidualAttentionUnit(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, planar: bool = False, wl: int = 0):
         # the reference's nn.ReLU(inplace=True) mutates its input, so the
         # residual connection actually adds relu(x), NOT x
         # (fusion_v2.py:127-137, rnn.py:650-662) — reproduced deliberately
@@ -265,9 +315,11 @@ class ResidualAttentionUnit(nn.Module):
         r = nn.relu(x)
         out = AttentionConv(self.features, 3, use_bias=True,
                             shared_rel=self.shared_rel,
-                            dtype=self.dtype, name="atten1")(r)
+                            dtype=self.dtype, name="atten1")(
+            r, planar=planar, wl=wl)
         out = nn.relu(out)
         out = AttentionConv(self.features, 3, use_bias=True,
                             shared_rel=self.shared_rel,
-                            dtype=self.dtype, name="atten2")(out)
+                            dtype=self.dtype, name="atten2")(
+            out, planar=planar, wl=wl)
         return out + r

@@ -86,10 +86,12 @@ class _ConvParams(nn.Module):
 
     shape: tuple  # (kh, kw, in_ch, out_ch)
     use_bias: bool = True
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self):
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+        kernel = self.param("kernel",
+                            self.kernel_init or nn.initializers.lecun_normal(),
                             self.shape)
         if not self.use_bias:
             return kernel, None

@@ -229,16 +229,16 @@ class GRUFusionBlock_v2(nn.Module):
     def __call__(self, input_1, input_2, planar: bool = False, wl: int = 0):
         f = self.features
         if planar:
-            # chain-padded planar fast path (attention-free wiring only):
-            # inputs (B, H, C, W) with logical width wl; disp returns NHWC,
-            # `up` returns PLANAR at logical width 2*wl
-            assert not self.attention
+            # chain-padded planar fast path: inputs (B, H, C, W) with
+            # logical width wl; disp returns NHWC, `up` returns PLANAR at
+            # logical width 2*wl. Attention units run the planar
+            # AttentionConv path (planar 1x1 matmuls + the fused kernel).
             wl = wl or input_1.shape[3]
-            pre = ResidualConvUnit(f, dtype=self.dtype, name="resConfUnit1")(
-                input_1, planar=True, wl=wl)
+            pre = _rcu(f, self.attention, False, self.dtype,
+                       "resConfUnit1")(input_1, planar=True, wl=wl)
             pre = pre + input_2
-            r2 = ResidualConvUnit(f, dtype=self.dtype, name="resConfUnit2")(
-                pre, planar=True, wl=wl)
+            r2 = _rcu(f, self.attention, False, self.dtype,
+                      "resConfUnit2")(pre, planar=True, wl=wl)
             if wl != r2.shape[3]:
                 r2 = r2[..., :wl]
             out = Conv3x3(1, dtype=self.dtype, name="conv3x3")(

@@ -83,8 +83,6 @@ def _gru_planar_cfg(version: str, height: int, width: int, attention: bool,
     spec = GRU_HIDDEN_SPECS.get(version)
     if version not in ("v9", "v10") or spec["cell"] != "gru":
         return cfg
-    if attention and version != "v10":
-        return cfg
     env = os.environ.get("SSDE_PLANAR_GRU")
     force = bool(os.environ.get("SSDE_CONV_INTERPRET"))
     if env is not None:
@@ -93,7 +91,12 @@ def _gru_planar_cfg(version: str, height: int, width: int, attention: bool,
         force = True
     elif not force and jax.default_backend() == "cpu":
         return cfg
+    from ..ops.pallas.attention_win import fits_attend3
     from ..ops.pallas.conv3x3 import fits_conv3x3
+
+    # v9's fusion blocks use attention units; their planar path needs the
+    # fused attention kernel (feats = GRUFusionBlock_v2 features per scale)
+    feats = (32, 64, 128, 256)
 
     # scale 3 is hardwired NHWC in the block wiring (hid 256 fills the
     # lanes; W/8 < one lane tile), so only scales 0-2 are candidates
@@ -104,6 +107,8 @@ def _gru_planar_cfg(version: str, height: int, width: int, attention: bool,
         ok = fits_conv3x3(Hs, wp, cx + hid, 3 * hid) and (
             force or (hid <= 64 and Ws >= 256 and 4 * wp <= 5 * Ws)
         )
+        if ok and attention and version != "v10":
+            ok = fits_attend3(Hs, feats[s], Ws)
         cfg[s] = (True, wp, Ws) if ok else (False, 0, 0)
     return cfg
 

@@ -171,17 +171,21 @@ def test_head_v4(rng):
         assert disp[f"disp/{s}"].shape[-1] == 1
 
 
-def test_gru_blocks_v10_planar_parity(rng, monkeypatch):
-    """Full-planar v10 block (chain-padded Pallas scan body, planar carry)
-    matches the NHWC path over two chained steps; W=64 exercises heavy
-    chain padding (wl=64 on a 128-wide physical buffer)."""
+@pytest.mark.parametrize("version,attention",
+                         [("v10", False), ("v9", True)])
+def test_gru_blocks_planar_parity(rng, monkeypatch, version, attention):
+    """Full-planar v9/v10 block (chain-padded Pallas scan body, planar
+    carry; v9 adds the planar attention-fusion path) matches the NHWC
+    path over two chained steps; W=64 exercises heavy chain padding
+    (wl=64 on a 128-wide physical buffer)."""
     B = 2
     ch = (16, 32, 64, 128)
     dec = _pre_disp(rng, B, ch)
     dec2 = _pre_disp(np.random.RandomState(7), B, ch)
     monkeypatch.setenv("SSDE_PLANAR_GRU", "0")
-    block = make_gru("v10", H, W, attention=False)
-    variables = block.init(jax.random.PRNGKey(0), dec, _zeros_state("v10", B))
+    block = make_gru(version, H, W, attention=attention)
+    variables = block.init(jax.random.PRNGKey(0), dec,
+                           _zeros_state(version, B))
 
     def two_steps():
         h0 = block.apply(variables, B, method=ConvGRUBlocks.initial_state)
@@ -195,7 +199,7 @@ def test_gru_blocks_v10_planar_parity(rng, monkeypatch):
     monkeypatch.setenv("SSDE_CONV_INTERPRET", "1")
     from ssde_tpu.models.recurrent import _gru_planar_cfg
 
-    assert any(c[0] for c in _gru_planar_cfg("v10", H, W, False, 4))
+    assert any(c[0] for c in _gru_planar_cfg(version, H, W, attention, 4))
     d1p, d2p = two_steps()
 
     for k in d1r:
