@@ -33,7 +33,8 @@ def bench(version, B, T, n_steps, H, W):
 
     opts = Options(height=H, width=W, batch_size=B, len_sequence=T,
                    num_layers=18, compute_dtype="bfloat16",
-                   gru_version=version, scales=[0, 1, 2, 3])
+                   gru_version=version, scales=[0, 1, 2, 3],
+                   gru_remat=os.environ.get("BENCH_GRU_REMAT", "auto"))
     ds = SyntheticSeqDataset(H, W, n=T, length=B)
     batch = collate([ds[i] for i in range(B)])
     batch = jax.tree.map(jax.device_put, batch)

@@ -51,17 +51,26 @@ PRE_DISP_VERSIONS = {"v3", "v4", "v6", "v7", "v8", "v9", "v10"}
 def _remat_mode(opts: Options) -> str:
     """Which parts of the sequence step to rematerialize in the backward.
 
-    The scan body MUST remat: without it XLA stacks every cell
-    intermediate over T, and the small-channel (C=32) full-res tensors
-    pad 4x in the lane dim — measured 22.4 GB at B=8,T=3 (OOM on a
-    16 GB chip). The B*T-frame encoder/decoder remat is only needed
-    when B*T is large; skipping it saves their forward recompute.
     Modes: "scan" (scan body only), "1" (everything), "0" (nothing),
-    "auto" ("scan" for small B*T, "1" otherwise).
+    "auto". With attention in the fusion blocks the scan body MUST
+    remat: the windowed-attention kernel saves its 9 softmax weights as
+    a residual (686 MB per call at scale 0), and stacking them over
+    4 units x 4 scales x T measured 38.8 GB at B=8,T=3 (16 GB chip).
+    Attention-free versions (v10 / --disable_attention) fit without the
+    scan remat since the planar chain removed the 4x lane padding of
+    the NHWC small-channel tensors — skipping it saves the scan body's
+    forward recompute (v10 B=8,T=3: 91.6 -> 101.5 frame-samples/s).
+    The B*T-frame encoder/decoder remat is only needed when B*T is
+    large; skipping it saves their forward recompute.
     """
     mode = str(getattr(opts, "gru_remat", "auto"))
     if mode == "auto":
-        return "scan" if opts.batch_size * opts.len_sequence <= 32 else "1"
+        bt = opts.batch_size * opts.len_sequence
+        att_free = (opts.gru_version == "v10"
+                    or bool(opts.disable_attention))
+        if bt <= 24 and att_free:
+            return "0"
+        return "scan" if bt <= 32 else "1"
     if mode in ("0", "false", "False"):
         return "0"
     if mode in ("1", "true", "True"):
