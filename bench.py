@@ -53,21 +53,35 @@ def main():
     step = make_mono_train_step(models)
     rng = jax.random.PRNGKey(0)
 
-    # warmup / compile
+    # warmup / compile. NOTE: on the tunneled TPU, block_until_ready can
+    # return before execution finishes (PLAN.md); a host readback of the
+    # LAST loss — which data-depends on every prior step through the
+    # state chain — cannot.
     for _ in range(3):
         rng, k = jax.random.split(rng)
         state, losses = step(state, batch, k)
-    jax.block_until_ready(losses["loss"])
+    float(jax.device_get(losses["loss"]))
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        rng, k = jax.random.split(rng)
-        state, losses = step(state, batch, k)
-    jax.block_until_ready(losses["loss"])
-    dt = time.perf_counter() - t0
 
+    def timed_chain(state, rng):
+        t0 = time.perf_counter()
+        losses = None
+        for _ in range(n_steps):
+            rng, k = jax.random.split(rng)
+            state, losses = step(state, batch, k)
+        float(jax.device_get(losses["loss"]))
+        return state, rng, time.perf_counter() - t0
+
+    state, rng, dt = timed_chain(state, rng)
     samples_per_sec = batch_size * n_steps / dt
+    if samples_per_sec > 1500.0:
+        # >2x the full v5p-8 north star on ONE chip = a measurement
+        # glitch (observed once: 14788 samples/s when the tunnel released
+        # a wait early); re-measure and keep the slower, believable run
+        state, rng, dt2 = timed_chain(state, rng)
+        dt = max(dt, dt2)
+        samples_per_sec = batch_size * n_steps / dt
     per_chip_target = 5000.0 / 8.0  # v5p-8 north star, per chip
     print(json.dumps({
         "metric": "kitti_640x192_train_samples_per_sec_per_chip",

@@ -12,7 +12,13 @@ instead: within one output row, the source y's span a few rows and each
     slack so the whole band is usable y-span budget),
   * gathers the horizontal taps from the THREE static neighbor column
     tiles (t-1, t, t+1) with membership masks — valid iff
-    ``x0 - t*TW`` is in ``[-TW, 2*TW - 2]``,
+    ``x0 - t*TW`` is in ``[-TW, 2*TW - 2]``; taps are bf16 PIXEL PAIRS
+    ``(img[c,x] << 16) | img[c,x+1]`` packed into int32 lanes (a bf16
+    in the top half-word of an f32 is exact), so ONE gather per
+    (window, plane) serves BOTH horizontal taps and the tile-crossing
+    tap-1 masks vanish (a channel-pair packing that halves the plane
+    count instead is kept under ``SSDE_WARP_PACK=channel``; pixel
+    measured 19.2 -> 15.9 ms fwd+bwd per B=48 family),
   * applies the vertical 2-tap lerp as a masked reduction over the band,
   * emits the warped value plus the two directional-derivative residuals
     (d out/d wx, d out/d wy) for the O(output) custom-VJP backward.
@@ -34,6 +40,7 @@ and x-budgets at run time. Reference op: trainer.py:508-511.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -55,9 +62,26 @@ YSPAN = VBAND - 2   # per-row y-span budget (2-tap edge; no alignment slack)
 
 
 def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
+                   pixel_pack: bool,
                    fx_ref, fy_ref, img_ref, out_ref, rdx_ref, rdy_ref):
+    """img_ref holds PACKED int32 planes of bf16 pairs (a bf16 payload in
+    the top half-word of an f32 IS that value in f32, so unpacking is a
+    mask / shift + bitcast and the math below is bit-identical to
+    gathering f32 upcasts per channel). Two packings:
+
+    * channel pack (default): plane p carries channel 2p's bits in the
+      top half-word and channel 2p+1's in the bottom (bottom zero when C
+      is odd) — gather/select/roll work runs on ceil(C/2) planes
+      (measured 47.7 -> 36.5 ms for the 8-warp B=48 family at vband=16).
+    * pixel pack: plane c's lane x carries (img[c, x] << 16) | img[c, x+1]
+      — C planes, but ONE gather per (window, plane) serves BOTH
+      horizontal taps, and the tile-crossing tap-1 case (x0 at a tile's
+      last lane) is baked into the pack, so tap-1 masks/index clamps
+      vanish.
+    """
     Wo = fx_ref.shape[-1]
     n_tiles = Wo // TW
+    P = C if pixel_pack else (C + 1) // 2              # packed planes
     L = vband + 8                                      # aligned load height
 
     fx = fx_ref[0]                                     # (chunk, Wo) f32
@@ -86,8 +110,8 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
         iota_v = lax.broadcasted_iota(jnp.int32, (vband, TW), 0)
 
         bands = []
-        for c in range(C):
-            band = img_ref[0, c, pl.ds(yal, L), :].astype(jnp.float32)
+        for p in range(P):
+            band = img_ref[0, p, pl.ds(yal, L), :]     # (L, W) int32
             bands.append(pltpu.roll(band, (L - off) % L, 0))
 
         for t in range(n_tiles):
@@ -103,32 +127,69 @@ def _banded_kernel(C: int, H: int, W: int, chunk: int, vband: int,
             vyd = m1 - m0
 
             windows = [w for w in (t - 1, t, t + 1) if 0 <= w < n_tiles]
-            # Mosaic's gather wants idx.shape == source.shape: one gather
-            # per (window, tap)
-            masks = []
-            for w in windows:
-                rel = xt - w * TW                      # (1, TW)
-                per_tap = []
-                for tap in (0, 1):
-                    r = rel + tap
-                    per_tap.append((
-                        jnp.broadcast_to((r >= 0) & (r <= TW - 1),
+            hi_mask = jnp.int32(-65536)                # 0xffff0000
+            taps0 = [None] * C                         # unpacked f32 taps
+            taps1 = [None] * C
+            if pixel_pack:
+                # ONE gather per (window, plane): the packed lane already
+                # holds both horizontal taps, and the pack baked in the
+                # tile-crossing tap-1 case
+                masks = []
+                for w in windows:
+                    rel = xt - w * TW                  # (1, TW)
+                    masks.append((
+                        jnp.broadcast_to((rel >= 0) & (rel <= TW - 1),
                                          (vband, TW)),
-                        jnp.broadcast_to(jnp.clip(r, 0, TW - 1),
+                        jnp.broadcast_to(jnp.clip(rel, 0, TW - 1),
                                          (vband, TW)),
                     ))
-                masks.append(per_tap)
+                for c in range(C):
+                    a = jnp.zeros((vband, TW), jnp.int32)
+                    for w, (ok, idx) in zip(windows, masks):
+                        win = bands[c][:vband, w * TW:(w + 1) * TW]
+                        a = jnp.where(
+                            ok, jnp.take_along_axis(win, idx, axis=1), a)
+                    taps0[c] = lax.bitcast_convert_type(a & hi_mask,
+                                                        jnp.float32)
+                    taps1[c] = lax.bitcast_convert_type(a << 16,
+                                                        jnp.float32)
+            else:
+                # Mosaic's gather wants idx.shape == source.shape: one
+                # gather per (window, tap)
+                masks = []
+                for w in windows:
+                    rel = xt - w * TW                  # (1, TW)
+                    per_tap = []
+                    for tap in (0, 1):
+                        r = rel + tap
+                        per_tap.append((
+                            jnp.broadcast_to((r >= 0) & (r <= TW - 1),
+                                             (vband, TW)),
+                            jnp.broadcast_to(jnp.clip(r, 0, TW - 1),
+                                             (vband, TW)),
+                        ))
+                    masks.append(per_tap)
+                for p in range(P):
+                    # gather requires 32-bit data; int32 zeros unpack to 0.0f
+                    a0 = jnp.zeros((vband, TW), jnp.int32)
+                    a1 = jnp.zeros((vband, TW), jnp.int32)
+                    for w, per_tap in zip(windows, masks):
+                        win = bands[p][:vband, w * TW:(w + 1) * TW]
+                        (ok0, idx0), (ok1, idx1) = per_tap
+                        a0 = jnp.where(ok0, jnp.take_along_axis(win, idx0, axis=1), a0)
+                        a1 = jnp.where(ok1, jnp.take_along_axis(win, idx1, axis=1), a1)
+                    taps0[2 * p] = lax.bitcast_convert_type(a0 & hi_mask,
+                                                            jnp.float32)
+                    taps1[2 * p] = lax.bitcast_convert_type(a1 & hi_mask,
+                                                            jnp.float32)
+                    if 2 * p + 1 < C:
+                        taps0[2 * p + 1] = lax.bitcast_convert_type(
+                            a0 << 16, jnp.float32)
+                        taps1[2 * p + 1] = lax.bitcast_convert_type(
+                            a1 << 16, jnp.float32)
             for c in range(C):
-                # gather requires 32-bit data (idx/result bitwidth match)
-                a0 = jnp.zeros((vband, TW), jnp.float32)
-                a1 = jnp.zeros((vband, TW), jnp.float32)
-                for w, per_tap in zip(windows, masks):
-                    win = bands[c][:vband, w * TW:(w + 1) * TW]
-                    (ok0, idx0), (ok1, idx1) = per_tap
-                    a0 = jnp.where(ok0, jnp.take_along_axis(win, idx0, axis=1), a0)
-                    a1 = jnp.where(ok1, jnp.take_along_axis(win, idx1, axis=1), a1)
-                ad = a1 - a0
-                aw = a0 + wxt * ad
+                ad = taps1[c] - taps0[c]
+                aw = taps0[c] + wxt * ad
                 out_ref[0, c, k:k + 1, sl] = jnp.sum(vyw * aw, axis=0,
                                                      keepdims=True)
                 rdx_ref[0, c, k:k + 1, sl] = jnp.sum(
@@ -159,21 +220,42 @@ def _taps_banded_pallas(img, fx, fy, S, chunk, interpret, vband,
     """
     B, H, W, C = img.shape
     G, Ho, Wo = fx.shape
-    imgp = img.transpose(0, 3, 1, 2).astype(jnp.bfloat16)
+    pixel_pack = os.environ.get("SSDE_WARP_PACK", "pixel") == "pixel"
+    P = C if pixel_pack else (C + 1) // 2
+    # pack bf16 pairs into int32 planes (see _banded_kernel): the pack is
+    # one cheap XLA pass over the source images, done ONCE per warp
+    # family regardless of S
+    bits = lax.bitcast_convert_type(
+        img.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    if pixel_pack:
+        # plane c lane x = (img[c, x] << 16) | img[c, x+1]; the last
+        # column repeats itself = exactly the border-clamp tap
+        nxt = jnp.concatenate([bits[:, :, 1:], bits[:, :, -1:]], axis=2)
+        planes = [(bits[..., c] << 16) | nxt[..., c] for c in range(C)]
+    else:
+        planes = []
+        for p in range(P):
+            hi = bits[..., 2 * p] << 16
+            lo = (bits[..., 2 * p + 1] if 2 * p + 1 < C
+                  else jnp.zeros_like(hi))
+            planes.append(hi | lo)
+    imgp = lax.bitcast_convert_type(
+        jnp.stack(planes, axis=1), jnp.int32)       # (B, P, H, W)
 
     grid = (G, Ho // chunk)
     coord_spec = pl.BlockSpec((1, chunk, Wo), lambda g, r: (g, r, 0))
     if smajor:
-        img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g % B, 0, 0, 0))
+        img_spec = pl.BlockSpec((1, P, H, W), lambda g, r: (g % B, 0, 0, 0))
     else:
-        img_spec = pl.BlockSpec((1, C, H, W), lambda g, r: (g // S, 0, 0, 0))
+        img_spec = pl.BlockSpec((1, P, H, W), lambda g, r: (g // S, 0, 0, 0))
     out_spec = pl.BlockSpec((1, C, chunk, Wo), lambda g, r: (g, 0, r, 0))
     out_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.float32)
     # residuals only feed the pose/disp gradient dot in the bwd: bf16
     # halves their HBM footprint and write/read traffic
     res_shape = jax.ShapeDtypeStruct((G, C, Ho, Wo), jnp.bfloat16)
 
-    kernel = functools.partial(_banded_kernel, C, H, W, chunk, vband)
+    kernel = functools.partial(_banded_kernel, C, H, W, chunk, vband,
+                               pixel_pack)
     return pl.pallas_call(
         kernel,
         grid=grid,
