@@ -21,26 +21,92 @@ import numpy as np
 
 
 class _JpegDataset:
-    """Minimal dataset: decode + resize 3 frames per item (mono contract)."""
+    """Minimal dataset: decode + resize 3 frames per item (mono contract).
 
-    def __init__(self, paths, width, height):
+    ``cache_dir`` switches to the decode-once uint8 path
+    (data/kitti.load_resized_uint8) — the fix for a host-bound feed.
+    """
+
+    def __init__(self, paths, width, height, cache_dir=None):
         self.paths = paths
         self.width = width
         self.height = height
+        self.cache_dir = cache_dir
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i):
-        from ssde_tpu.data.kitti import pil_load_resized
+        from ssde_tpu.data.kitti import load_resized_uint8, pil_load_resized
 
         out = {}
         for j, f in enumerate((0, -1, 1)):
             p = self.paths[(i + j) % len(self.paths)]
-            out[f"color/{f}"] = pil_load_resized(p, self.width, self.height,
-                                                 False)
+            if self.cache_dir is not None:
+                out[f"color/{f}"] = load_resized_uint8(
+                    p, self.width, self.height, False, self.cache_dir)
+            else:
+                out[f"color/{f}"] = pil_load_resized(p, self.width,
+                                                     self.height, False)
         out["K"] = np.eye(4, dtype=np.float32)
         return out
+
+
+def bench_fed(args, paths, tmp):
+    """Train-step throughput fed by the REAL Loader (not device-resident
+    synthetic data): measures the sustained loader+step pipeline, the
+    number that bounds real-KITTI training (round-3 verdict item 4).
+    Run with --fed [--cache] on the TPU host."""
+    import jax
+
+    from ssde_tpu.config import Options
+    from ssde_tpu.data.pipeline import Loader
+    from ssde_tpu.train import (
+        TrainState, build_mono_models, create_optimizer, init_mono_params,
+    )
+    from ssde_tpu.train.steps import make_mono_train_step
+    from ssde_tpu.data.transforms import preprocess_batch
+    from ssde_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    B = args.batch_size
+    cache = os.path.join(tmp, "u8cache") if args.cache else None
+    ds = _JpegDataset(paths, args.width, args.height, cache_dir=cache)
+    if cache:  # prime the decode-once cache (first epoch cost, reported)
+        t0 = time.perf_counter()
+        for i in range(len(ds)):
+            ds[i]
+        print(f"cache prime: {len(ds) / (time.perf_counter() - t0):.1f} items/s")
+
+    opts = Options(height=args.height, width=args.width, batch_size=B,
+                   num_layers=18, compute_dtype="bfloat16",
+                   frame_ids=[0, -1, 1], scales=[0, 1, 2, 3])
+    models = build_mono_models(opts)
+    loader = Loader(ds, B, shuffle=False, drop_last=True,
+                    num_workers=args.fed_workers)
+    first = next(iter(loader))
+    inputs = preprocess_batch(jax.tree.map(jax.device_put, first),
+                              args.height, args.width, 4, [0, -1, 1])
+    params, stats = init_mono_params(models, jax.random.PRNGKey(0), inputs)
+    state = TrainState.create(params, stats, create_optimizer(1e-4, 15, 1000))
+    step = make_mono_train_step(models)
+    rng = jax.random.PRNGKey(0)
+    # compile + warm
+    state, losses = step(state, first, rng)
+    float(jax.device_get(losses["loss"]))
+
+    n = 0
+    t0 = time.perf_counter()
+    for epoch in range(args.fed_epochs):
+        for batch in loader:
+            rng, k = jax.random.split(rng)
+            state, losses = step(state, batch, k)
+            n += B
+    float(jax.device_get(losses["loss"]))
+    dt = time.perf_counter() - t0
+    mode = "uint8-cache" if args.cache else "jpeg-decode"
+    print(f"loader-fed step [{mode}, {args.fed_workers} workers]: "
+          f"{n / dt:.1f} samples/s over {n} samples")
 
 
 def main():
@@ -52,6 +118,12 @@ def main():
     ap.add_argument("--src_height", type=int, default=375)
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--workers", type=str, default="1,2,4,8")
+    ap.add_argument("--fed", action="store_true",
+                    help="feed the real jitted train step from the Loader")
+    ap.add_argument("--cache", action="store_true",
+                    help="use the decode-once uint8 cache in --fed mode")
+    ap.add_argument("--fed_workers", type=int, default=2)
+    ap.add_argument("--fed_epochs", type=int, default=3)
     args = ap.parse_args()
 
     from PIL import Image
@@ -67,6 +139,12 @@ def main():
         # shift so files differ (defeats any OS-level dedup)
         Image.fromarray(np.roll(base, i, axis=1)).save(p, quality=90)
         paths.append(p)
+
+    if args.fed:
+        bench_fed(args, paths, tmp)
+        for p in paths:
+            os.unlink(p)
+        return
 
     ds = _JpegDataset(paths, args.width, args.height)
     print(f"{args.n_images} JPEGs {args.src_width}x{args.src_height} -> "

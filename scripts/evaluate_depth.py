@@ -46,6 +46,14 @@ def predict_disps(opt: Options):
     jax.config.update("jax_default_matmul_precision", "float32")
 
     folder = opt.load_weights_folder
+    if folder and not os.path.isdir(folder):
+        from ssde_tpu.utils import MONODEPTH2_ZOO, download_model_if_doesnt_exist
+
+        if os.path.basename(folder) in MONODEPTH2_ZOO:
+            # --load_weights_folder models/<zoo name>: bootstrap the
+            # published checkpoint (reference test_simple.py:60-65)
+            folder = download_model_if_doesnt_exist(
+                os.path.basename(folder), os.path.dirname(folder) or "models")
     assert os.path.isdir(folder), f"Cannot find a folder at {folder}"
     filenames = readlines(split_file(opt.eval_split, "test"))
 

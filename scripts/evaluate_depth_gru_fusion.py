@@ -56,6 +56,11 @@ def main():
     parser.add_argument("--skip_frames", type=int, default=1,
                         help="stride when streaming scene frames "
                              "(reference skip_frames)")
+    parser.add_argument("--eval_batch_size", type=int, default=8,
+                        help="batch width for the single/warmup protocols: "
+                             "test images with the same warm-up length ride "
+                             "one batched recurrence (697 x ~10 B=1 steps "
+                             "-> ~90 batched steps at the default 8)")
     args, remaining = parser.parse_known_args()
     opt = MonodepthOptions().parse(remaining)
 
@@ -90,22 +95,51 @@ def main():
     if args.protocol in ("single", "warmup"):
         gt = np.load(os.path.join(gt_dir, "gt_depths.npz"),
                      allow_pickle=True)["data"]
-        for line in filenames:
+        bs = max(1, args.eval_batch_size)
+
+        # bucket test items by warm-up length so every batched chunk runs
+        # the recurrence the same number of steps (identical per-item
+        # semantics to the reference's sequential loop,
+        # evaluate_depth_gru_fusion.py:140-199); nearly all eigen items
+        # have the full warmup_frames, so this is ~one bucket
+        items = []  # (orig_pos, warmup_frames list, image)
+        for pos, line in enumerate(filenames):
             folder, idx, _ = line.split()
             idx = int(idx)
             image = load_frame(folder, idx)
-            if args.protocol == "single":
-                disp = ev.predict_single(image)
-            else:
-                prev = []
+            prev = []
+            if args.protocol == "warmup":
                 for j in range(idx - args.warmup_frames, idx):
                     f = load_frame(folder, j)
                     if f is not None:
                         prev.append(f)
-                disp = ev.predict_with_warmup(prev, image)
-            scaled, _ = disp_to_depth(jnp.asarray(disp), opt.min_depth,
-                                      opt.max_depth)
-            pred_disps.append(np.asarray(scaled)[0])
+            items.append((pos, prev, image))
+
+        results = [None] * len(items)
+        buckets = defaultdict(list)
+        for it in items:
+            buckets[len(it[1])].append(it)
+        for L, bucket in sorted(buckets.items()):
+            for c0 in range(0, len(bucket), bs):
+                chunk = bucket[c0:c0 + bs]
+                n = len(chunk)
+                # pad the final partial chunk (outputs discarded) so the
+                # jitted step sees ONE batch shape per run
+                while len(chunk) < bs and len(bucket) >= bs:
+                    chunk = chunk + [chunk[-1]]
+                image = np.concatenate([c[2] for c in chunk], axis=0)
+                if L:
+                    prev = [np.concatenate([c[1][t] for c in chunk], axis=0)
+                            for t in range(L)]
+                    disp = ev.predict_with_warmup(prev, image)
+                else:
+                    disp = ev.predict_single(image)
+                scaled, _ = disp_to_depth(jnp.asarray(disp), opt.min_depth,
+                                          opt.max_depth)
+                scaled = np.asarray(scaled)
+                for i in range(n):
+                    results[chunk[i][0]] = scaled[i]
+        pred_disps = results
         gt_list = list(gt)
     else:  # scene streaming
         seq = np.load(os.path.join(gt_dir, "gt_depths_seq.npz"),

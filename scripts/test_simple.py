@@ -48,6 +48,23 @@ def test_simple(args):
     jax.config.update("jax_default_matmul_precision", "float32")
 
     folder = args.model_path or os.path.join("models", args.model_name)
+    if not os.path.isdir(folder) and args.model_name:
+        # zoo bootstrap (reference test_simple.py:60-65): download + unzip
+        # the published Monodepth2 checkpoint, md5-verified. On an offline
+        # machine this raises with the URL so the user can fetch it
+        # manually and unzip into models/<name>/.
+        from ssde_tpu.utils import MONODEPTH2_ZOO, download_model_if_doesnt_exist
+
+        if args.model_name in MONODEPTH2_ZOO:
+            try:
+                folder = download_model_if_doesnt_exist(args.model_name)
+            except Exception as e:
+                url = MONODEPTH2_ZOO[args.model_name][0]
+                raise SystemExit(
+                    f"Could not download {args.model_name} ({e}). If this "
+                    f"machine is offline, fetch {url} elsewhere and unzip "
+                    f"it into models/{args.model_name}/"
+                )
     assert os.path.isdir(folder), f"Cannot find checkpoint folder {folder}"
 
     # read feed size from the encoder checkpoint

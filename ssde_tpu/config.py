@@ -33,11 +33,18 @@ class Options:
     len_sequence: int = 10
     train_n_tuples: int = 60
     test_n_tuples: int = 10
+    # accepted-but-inert: the reference declares --pose_mask (options.py:66)
+    # but no trainer ever reads it
     pose_mask: int = 1
     mono_pretrained: int = 1
     gru_pre_disp: int = 1
     h_s_epoch: int = 10
     gru_version: str = "v5"
+    # hidden-state aggregation for v4/v6: (h_t + h_{t-1})/2. The reference
+    # force-overrides this to True at startup (trainer_gru.py:62), so its
+    # concat branch (trainer_gru.py:577) is unreachable — and shape-broken
+    # (2C-channel concat added to C-channel features). GRUTrainer mirrors
+    # the force and warns if --fuse 0 is passed.
     fuse: int = 1
     dataset: str = "kitti"
     png: bool = False
@@ -141,6 +148,11 @@ class Options:
     gru_remat: str = "auto"
     # synthetic data (hermetic runs without a KITTI tree)
     synthetic_data: bool = False
+    # decode-once uint8 frame cache directory (data/kitti.load_resized_uint8):
+    # first epoch decodes+resizes and caches; later visits skip the JPEG
+    # decode (the host bottleneck at ~8-9 items/s/core) and frames ship to
+    # the device as uint8 (4x less H2D traffic). None = decode every visit.
+    decoded_cache: Optional[str] = None
     # capture a jax.profiler trace of N training steps into <log_dir>/profile
     profile_steps: int = 0
 

@@ -55,6 +55,44 @@ def pil_load_resized(path: str, width: int, height: int, do_flip: bool) -> np.nd
             return np.asarray(img, dtype=np.float32) / 255.0
 
 
+def load_resized_uint8(path: str, width: int, height: int, do_flip: bool,
+                       cache_dir: Optional[str] = None) -> np.ndarray:
+    """Decode+resize to uint8, with an optional decode-once disk cache.
+
+    The JPEG decode + LANCZOS resize is the host pipeline's bottleneck
+    (~8-9 items/s/core, PLAN.md): at the north-star feed rate it needs
+    ~12 cores. With ``cache_dir`` set the first visit caches the resized
+    uint8 frame (pre-flip) as .npy; later epochs/visits skip the decode
+    entirely (640x192 frame = 368 KB, full eigen_zhou 3-frame train set
+    ~44 GB — sized for a local SSD). uint8 output also quarters the
+    host->device transfer; ``transforms.preprocess_batch`` converts to
+    float on device.
+    """
+    if cache_dir is None:
+        arr = None
+    else:
+        import hashlib
+
+        key = hashlib.md5(f"{path}|{width}x{height}".encode()).hexdigest()
+        cpath = os.path.join(cache_dir, f"{key}.npy")
+        arr = np.load(cpath, mmap_mode="r") if os.path.exists(cpath) else None
+    if arr is None:
+        with open(path, "rb") as f:
+            with Image.open(f) as img:
+                img = img.convert("RGB").resize((width, height), Image.LANCZOS)
+                arr = np.asarray(img, dtype=np.uint8)
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cpath + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, cpath)  # atomic vs concurrent workers
+    arr = np.asarray(arr)
+    if do_flip:
+        arr = arr[:, ::-1].copy()
+    return arr
+
+
 def item_rng(seed: int, epoch: int, index: int) -> random.Random:
     """Deterministic per-(seed, epoch, index) RNG stream for __getitem__.
 
@@ -98,6 +136,7 @@ class KITTIDataset:
         img_ext: str = ".jpg",
         load_depth: Optional[bool] = None,
         seed: int = 0,
+        decoded_cache: Optional[str] = None,
     ):
         self.data_path = data_path
         self.filenames = list(filenames)
@@ -109,6 +148,9 @@ class KITTIDataset:
         self.K = KITTI_K
         self.seed = seed
         self._epoch = 0
+        # decode-once uint8 cache (see load_resized_uint8); frames ship as
+        # uint8 and preprocess_batch converts on device
+        self.decoded_cache = decoded_cache
         self.load_depth = self.check_depth() if load_depth is None else load_depth
 
     def set_epoch(self, epoch: int) -> None:
@@ -139,6 +181,9 @@ class KITTIDataset:
         path = self.get_image_path(folder, frame_index, side)
         if not os.path.exists(path):
             return None
+        if self.decoded_cache is not None:
+            return load_resized_uint8(path, self.width, self.height, do_flip,
+                                      self.decoded_cache)
         return pil_load_resized(path, self.width, self.height, do_flip)
 
     def __getitem__(self, index):

@@ -20,11 +20,17 @@ import numpy as np
 
 
 def collate(items):
-    """Stack a list of item dicts into one batch dict."""
+    """Stack a list of item dicts into one batch dict.
+
+    uint8 frames (the decoded-cache fast path, data/kitti.py
+    load_resized_uint8) stay uint8 — 4x less host->device traffic; the
+    device-side preprocess converts to float.
+    """
     out = {}
     for k in items[0]:
         vals = [it[k] for it in items]
-        out[k] = np.stack(vals).astype(np.float32)
+        arr = np.stack(vals)
+        out[k] = arr if arr.dtype == np.uint8 else arr.astype(np.float32)
     return out
 
 

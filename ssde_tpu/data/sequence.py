@@ -80,6 +80,7 @@ class KITTISeqDataset:
         img_ext: str = ".jpg",
         load_depth: bool = True,
         seed: int = 0,
+        decoded_cache: str | None = None,
     ):
         self.data_path = data_path
         self.sequences = list(sequences)
@@ -92,6 +93,7 @@ class KITTISeqDataset:
         self.K = KITTI_K
         self.seed = seed
         self._epoch = 0
+        self.decoded_cache = decoded_cache
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -124,12 +126,24 @@ class KITTISeqDataset:
         do_flip = self.is_train and rng.random() > 0.5
         do_jitter = self.is_train and rng.random() > 0.5
 
-        imgs = {
-            f: pil_load_resized(
-                self.get_image_path(f, scene), self.width, self.height, do_flip
-            )
-            for f in frames
-        }
+        if self.decoded_cache is not None:
+            from .kitti import load_resized_uint8
+
+            imgs = {
+                f: load_resized_uint8(
+                    self.get_image_path(f, scene), self.width, self.height,
+                    do_flip, self.decoded_cache,
+                )
+                for f in frames
+            }
+        else:
+            imgs = {
+                f: pil_load_resized(
+                    self.get_image_path(f, scene), self.width, self.height,
+                    do_flip,
+                )
+                for f in frames
+            }
         n = self.n
         inputs = {
             "color/0": np.stack([imgs[f] for f in frames[1 : n + 1]]),

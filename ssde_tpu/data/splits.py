@@ -25,9 +25,21 @@ def readlines(filename: str) -> List[str]:
 
 
 def split_file(split: str, which: str, splits_dir: str | None = None) -> str:
-    """Path to ``splits/<split>/<which>_files.txt``."""
-    d = splits_dir or DEFAULT_SPLITS_DIR
-    return os.path.join(d, split, f"{which}_files.txt")
+    """Path to ``splits/<split>/<which>_files.txt``.
+
+    The reference's lists use two naming conventions: ``train_files.txt``
+    (frame lists) but ``train_sequences.txt`` / ``test_files_09.txt``
+    (scene/odometry lists, no ``_files`` suffix — reference
+    trainer_gru.py:218, evaluate_pose.py:58). Resolve ``<which>_files.txt``
+    first and fall back to ``<which>.txt`` when only that exists, so call
+    sites can use the short name for either convention.
+    """
+    d = splits_dir or os.environ.get("SSDE_SPLITS_DIR") or DEFAULT_SPLITS_DIR
+    cand = os.path.join(d, split, f"{which}_files.txt")
+    alt = os.path.join(d, split, f"{which}.txt")
+    if not os.path.exists(cand) and os.path.exists(alt):
+        return alt
+    return cand
 
 
 def parse_line(line: str):

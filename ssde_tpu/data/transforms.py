@@ -146,6 +146,10 @@ def preprocess_batch(
         aug_num_scales = num_scales
     for i in frame_idxs:
         img = batch[f"color/{i}"]
+        if img.dtype == jnp.uint8:
+            # frames shipped as uint8 (decoded-cache path): convert on
+            # device, where the divide fuses into the pyramid/jitter ops
+            img = img.astype(jnp.float32) / 255.0
         n_s = num_scales if i in pyramid_frames else 1
         for s, scaled in enumerate(build_pyramid(img, n_s)):
             inputs[f"color/{i}/{s}"] = scaled

@@ -47,6 +47,36 @@ def _attn_kernel_enabled():
     return jax.default_backend() not in ("cpu",)
 
 
+_ATTN_REMAT = [False]
+
+
+class remat_attention:
+    """Trace-time context: rematerialize each fused-attention call.
+
+    The saved-softmax kernel (ops/pallas/attention_win) emits a
+    (RB, RH, 9C, W) softmax residual — 686 MB per call at 8x192x640x32 —
+    which is what forces the GRU sequence step to remat its WHOLE scan
+    body (steps_gru._remat_mode). Inside this context the q/k/v matmuls +
+    kernel call are wrapped in ``jax.checkpoint``: the residual becomes
+    transient (recomputed in backward at ~1 extra kernel-forward per
+    call) while everything ELSE the scan body produces stays saved. Used
+    by steps_gru around the attention-version unroll so v9 can skip the
+    scan-body remat like v10 does.
+    """
+
+    def __enter__(self):
+        _ATTN_REMAT.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _ATTN_REMAT.pop()
+        return False
+
+
+def _attn_remat_active():
+    return _ATTN_REMAT[-1] or os.environ.get("SSDE_REMAT_ATTN") == "1"
+
+
 def _pad_ring(xpl, b):
     """Planar (B, H, C, W) -> (B, H+2, C, W+2) with the ring holding the
     per-channel value ``b`` (the conv bias: the reference zero-pads the
@@ -210,15 +240,20 @@ class AttentionConv(nn.Module):
         one fused windowed-softmax kernel in planar layout."""
         from ..ops.pallas.attention_win import attend3
 
-        q = x @ wq + bq
-        key = x @ wk + bk
-        val = x @ wv + bv
-        qp = q.transpose(0, 1, 3, 2)                       # (B, H, C, W)
-        kp = _pad_ring(key.transpose(0, 1, 3, 2), bk)
-        vp = _pad_ring(val.transpose(0, 1, 3, 2), bv)
-        out = attend3(qp, kp, vp, rel,
-                      interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
-        return out.transpose(0, 1, 3, 2)
+        def run(x, wq, bq, wk, bk, wv, bv, rel):
+            q = x @ wq + bq
+            key = x @ wk + bk
+            val = x @ wv + bv
+            qp = q.transpose(0, 1, 3, 2)                   # (B, H, C, W)
+            kp = _pad_ring(key.transpose(0, 1, 3, 2), bk)
+            vp = _pad_ring(val.transpose(0, 1, 3, 2), bv)
+            out = attend3(qp, kp, vp, rel,
+                          interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+            return out.transpose(0, 1, 3, 2)
+
+        if _attn_remat_active():
+            run = jax.checkpoint(run)
+        return run(x, wq, bq, wk, bk, wv, bv, rel)
 
     def _planar_kernel(self, x, wl, wq, bq, wk, bk, wv, bv, rel):
         """Fused Pallas path, chain-padded planar in/out: the 1x1 convs
@@ -228,19 +263,25 @@ class AttentionConv(nn.Module):
         from ..ops.pallas.attention_win import attend3
 
         wp = x.shape[3]
-        xl = x[..., :wl] if wl < wp else x
 
-        def mm(w, b):
-            return jnp.einsum("dc,bhcw->bhdw", w.T, xl) + b[:, None]
+        def run(x, wq, bq, wk, bk, wv, bv, rel):
+            xl = x[..., :wl] if wl < wp else x
 
-        q, key, val = mm(wq, bq), mm(wk, bk), mm(wv, bv)
-        kp = _pad_ring(key, bk)
-        vp = _pad_ring(val, bv)
-        out = attend3(q, kp, vp, rel,
-                      interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
-        if wl < wp:
-            out = jnp.pad(out, ((0, 0),) * 3 + ((0, wp - wl),))
-        return out
+            def mm(w, b):
+                return jnp.einsum("dc,bhcw->bhdw", w.T, xl) + b[:, None]
+
+            q, key, val = mm(wq, bq), mm(wk, bk), mm(wv, bv)
+            kp = _pad_ring(key, bk)
+            vp = _pad_ring(val, bv)
+            out = attend3(q, kp, vp, rel,
+                          interpret=bool(os.environ.get("SSDE_CONV_INTERPRET")))
+            if wl < wp:
+                out = jnp.pad(out, ((0, 0),) * 3 + ((0, wp - wl),))
+            return out
+
+        if _attn_remat_active():
+            run = jax.checkpoint(run)
+        return run(x, wq, bq, wk, bk, wv, bv, rel)
 
 
 class AttentionStem(nn.Module):

@@ -25,12 +25,16 @@ Self-attention maps of the blocks the reference visualizes
 ``attention`` when ``capture_attention=True`` — the native equivalent of
 ``model.pretrained.attention["attn_k"]``.
 
-Interop note: the reference's dpt package cannot be weight-compared (it
-is not vendored there), so this module targets architecture parity, not
-checkpoint parity; the trainer contract (``disp/0`` in (0, 1) for
-disp_to_depth) is served by a sigmoid on the inverse-depth logits, while
-``non_negative`` ReLU inverse depth is exposed for standalone inference
-(reference dpt.models.DPTDepthModel.forward semantics).
+Interop note — DECIDED (round 4): this module targets architecture
+parity, not checkpoint parity, as a final scope decision. The reference
+itself cannot load published ``vitb_rn50_384`` weights (its ``dpt``
+package import fails as checked in, trainer_dpt.py:30), so there is no
+reference behavior to match; a timm/DPT key converter would be new
+surface with nothing to validate against. The trainer contract
+(``disp/0`` in (0, 1) for disp_to_depth) is served by a sigmoid on the
+inverse-depth logits, while ``non_negative`` ReLU inverse depth is
+exposed for standalone inference (reference
+dpt.models.DPTDepthModel.forward semantics).
 """
 
 from __future__ import annotations

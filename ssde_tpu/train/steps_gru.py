@@ -66,9 +66,11 @@ def _remat_mode(opts: Options) -> str:
     mode = str(getattr(opts, "gru_remat", "auto"))
     if mode == "auto":
         bt = opts.batch_size * opts.len_sequence
-        att_free = (opts.gru_version == "v10"
-                    or bool(opts.disable_attention))
-        if bt <= 24 and att_free:
+        if bt <= 24:
+            # attention versions skip the scan remat too: gru_loss_fn
+            # wraps the unroll in remat_attention(), so the softmax
+            # residuals are transient even without a body remat (v9
+            # B=8,T=3 measured 52 -> see PLAN.md round 4)
             return "0"
         return "scan" if bt <= 32 else "1"
     if mode in ("0", "false", "False"):
@@ -228,16 +230,24 @@ def gru_loss_fn(models: GRUModels, params, batch_stats, inputs, B, T, rng,
     )
     new_bs["encoder"] = bs
 
-    if opts.gru_version == "v5":
-        outputs = gru_unroll(models, params, feats, B, T)
-    else:
-        pre_disp = opts.gru_version in PRE_DISP_VERSIONS and bool(opts.gru_pre_disp)
+    # attention fusion blocks: rematerialize each fused-attention call so
+    # its softmax residuals never stack over T (models/attention.py
+    # remat_attention) — this is what lets the auto remat policy skip the
+    # whole-scan-body remat for v9 like it does for v10
+    from ..models.attention import remat_attention
 
-        def dec_fn(p, fs):
-            return models.depth.apply({"params": p}, fs, pre_disp=pre_disp)
+    with remat_attention():
+        if opts.gru_version == "v5":
+            outputs = gru_unroll(models, params, feats, B, T)
+        else:
+            pre_disp = (opts.gru_version in PRE_DISP_VERSIONS
+                        and bool(opts.gru_pre_disp))
 
-        dec = _maybe_remat(dec_fn, opts)(params["depth"], feats)
-        outputs = gru_unroll(models, params, dec, B, T)
+            def dec_fn(p, fs):
+                return models.depth.apply({"params": p}, fs, pre_disp=pre_disp)
+
+            dec = _maybe_remat(dec_fn, opts)(params["depth"], feats)
+            outputs = gru_unroll(models, params, dec, B, T)
 
     pose_out, pose_bs = predict_poses(models, params, batch_stats, inputs, train)
     outputs.update(pose_out)

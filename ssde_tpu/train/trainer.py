@@ -63,6 +63,12 @@ class TrainerBase:
         assert self.opt.width % 32 == 0, "'width' must be a multiple of 32"
         assert self.opt.frame_ids[0] == 0, "frame_ids must start with 0"
 
+        # --use_stereo appends the opposite-camera frame "s" so the dataset
+        # loads it and the loss warps from it (reference trainer.py:59-60);
+        # runs after subclass __init__s force their frame_ids.
+        if self.opt.use_stereo and "s" not in self.opt.frame_ids:
+            self.opt.frame_ids = list(self.opt.frame_ids) + ["s"]
+
         if self.opt.matmul_precision != "default":
             jax.config.update("jax_default_matmul_precision",
                               self.opt.matmul_precision)
@@ -88,7 +94,10 @@ class TrainerBase:
 
     # ------------------------------------------------------------- data
     def _frame_idxs(self):
-        return list(self.opt.frame_ids)
+        ids = list(self.opt.frame_ids)
+        if self.opt.use_stereo and "s" not in ids:
+            ids.append("s")
+        return ids
 
     def _train_files(self):
         return readlines(split_file(self.opt.split, "train"))
@@ -105,19 +114,28 @@ class TrainerBase:
                 frame_idxs=self._frame_idxs(), is_train=False,
             )
         else:
-            ds_cls = {"kitti": KITTIRAWDataset, "kitti_odom": KITTIOdomDataset}[
-                opt.dataset if opt.dataset in ("kitti", "kitti_odom") else "kitti"
-            ]
+            # the reference's dict has only kitti/kitti_odom and would
+            # KeyError on the other --dataset choices (trainer.py:139-141);
+            # we additionally wire kitti_depth to the improved-GT dataset.
+            from ..data.kitti import KITTIDepthDataset
+
+            ds_cls = {
+                "kitti": KITTIRAWDataset,
+                "kitti_odom": KITTIOdomDataset,
+                "kitti_depth": KITTIDepthDataset,
+            }.get(opt.dataset, KITTIRAWDataset)
             img_ext = ".png" if opt.png else ".jpg"
             train_files = self._train_files()
             val_files = readlines(split_file(opt.split, "val"))
             self.train_dataset = ds_cls(
                 opt.data_path, train_files, opt.height, opt.width,
                 self._frame_idxs(), is_train=True, img_ext=img_ext,
+                decoded_cache=opt.decoded_cache,
             )
             self.val_dataset = ds_cls(
                 opt.data_path, val_files, opt.height, opt.width,
                 self._frame_idxs(), is_train=False, img_ext=img_ext,
+                decoded_cache=opt.decoded_cache,
             )
         self.train_loader = Loader(
             self.train_dataset, opt.batch_size, shuffle=True, drop_last=True,
@@ -256,11 +274,39 @@ class TrainerBase:
             return
         self._val_failures = 0
         scalars = {k: float(v) for k, v in losses.items()}
+        self._check_band_violation(scalars)
         if "depth_gt" in batch:
             scalars.update(self.compute_depth_losses(batch, outputs))
         self.writers.scalars("val", self.step, scalars)
         self.writers.images("val", self.step, inputs, outputs,
                             self.opt.scales, [0])
+
+    def _check_band_violation(self, scalars):
+        """Guard on the banded-warp approximation (round-3 verdict item 6).
+
+        The banded warp kernel clamps source rows outside its vertical band
+        (ops/pallas/warp_banded.py); ``warp/band_violation`` reports the
+        fraction of clamped output rows. Transient non-zero values are
+        normal early in training (wild pose predictions); a SUSTAINED
+        violation means ``--warp_vband`` is too small for this config and
+        the photometric loss is silently wrong — stop with advice rather
+        than train a corrupted model.
+        """
+        viol = scalars.get("warp/band_violation", 0.0)
+        if viol > 1e-4:
+            self._band_violation_streak = getattr(
+                self, "_band_violation_streak", 0) + 1
+            print(f"WARNING: warp/band_violation={viol:.2e} "
+                  f"({self._band_violation_streak} consecutive val checks)")
+            if self._band_violation_streak >= 5:
+                raise RuntimeError(
+                    f"banded-warp violation {viol:.2e} sustained over "
+                    f"{self._band_violation_streak} val checks: raise "
+                    f"--warp_vband (currently {self.opt.warp_vband}) or use "
+                    f"--warp_backend gather for an exact warp"
+                )
+        else:
+            self._band_violation_streak = 0
 
     def compute_depth_losses(self, batch, outputs):
         """Velodyne-GT depth metrics with the garg crop
@@ -355,7 +401,10 @@ class _FusionTrainerBase(TrainerBase):
         super().__init__(options)
 
     def _frame_idxs(self):
-        return [0, -1, -2, 1]
+        ids = [0, -1, -2, 1]
+        if self.opt.use_stereo:
+            ids.append("s")
+        return ids
 
     def _build_models(self):
         return build_fusion_models(self.opt, self.fusion_variant)

@@ -44,6 +44,15 @@ class GRUTrainer(TrainerBase):
 
     def __init__(self, options: Options):
         options.frame_ids = [0, -1, 1]
+        # the reference force-enables hidden-state fusion at startup
+        # (trainer_gru.py:62: ``self.opt.fuse = True``); its --fuse 0
+        # concat branch is unreachable and shape-broken. Mirror the force
+        # loudly instead of silently training a different model.
+        if not options.fuse:
+            print("---> --fuse 0 is overridden to 1 (the reference forces "
+                  "fuse=True, trainer_gru.py:62; the concat branch is "
+                  "unreachable there)")
+            options.fuse = 1
         self._h0_frozen = False
         super().__init__(options)
 
@@ -65,20 +74,23 @@ class GRUTrainer(TrainerBase):
             train_scenes = readlines(split_file(opt.split, "train_sequences"))
             val_scenes = readlines(split_file(opt.split, "val_sequences"))
             n_frames = count_scene_frames(train_scenes + val_scenes, opt.data_path)
-            # k=1 extra frame for the +1 neighbour (reference trainer_gru.py:218-230)
+            # k=2 extra frames: tuple windows are length T+2 so every centre
+            # frame has both +-1 neighbours (reference trainer_gru.py:222)
             train_tuples = generate_frame_tuples(
-                n_frames, train_scenes, opt.len_sequence, 1, opt.train_n_tuples
+                n_frames, train_scenes, opt.len_sequence, 2, opt.train_n_tuples
             )
             val_tuples = generate_frame_tuples(
-                n_frames, val_scenes, opt.len_sequence, 1, opt.test_n_tuples
+                n_frames, val_scenes, opt.len_sequence, 2, opt.test_n_tuples
             )
             self.train_dataset = KITTISeqDataset(
                 opt.data_path, train_tuples, opt.height, opt.width,
                 opt.len_sequence, is_train=True,
+                decoded_cache=opt.decoded_cache,
             )
             self.val_dataset = KITTISeqDataset(
                 opt.data_path, val_tuples, opt.height, opt.width,
                 opt.len_sequence, is_train=False,
+                decoded_cache=opt.decoded_cache,
             )
         self.train_loader = Loader(
             self.train_dataset, opt.batch_size, shuffle=True, drop_last=True,

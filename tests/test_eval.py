@@ -109,3 +109,16 @@ def test_gru_stream_evaluator(tmp_path):
     assert len(scene) == 3 and scene[-1].shape == (1, 32, 64)
     # the final streamed frame equals the warmup-protocol prediction
     np.testing.assert_allclose(scene[-1], d2, atol=1e-6)
+
+    # batched warmup (evaluate_depth_gru_fusion --eval_batch_size) is
+    # item-wise identical to sequential B=1 warmup
+    frame_b = np.random.RandomState(7).rand(1, 32, 64, 3).astype(np.float32)
+    prev_b = [np.random.RandomState(10 + i).rand(1, 32, 64, 3).astype(np.float32)
+              for i in range(2)]
+    d_b = ev.predict_with_warmup(prev_b, frame_b)
+    stacked = ev.predict_with_warmup(
+        [np.concatenate([a, b], axis=0) for a, b in zip(prev, prev_b)],
+        np.concatenate([frame, frame_b], axis=0),
+    )
+    np.testing.assert_allclose(stacked[0], d2[0], atol=1e-5)
+    np.testing.assert_allclose(stacked[1], d_b[0], atol=1e-5)
