@@ -75,7 +75,12 @@ def main():
         if level == "encdec":
             loss = sum(jnp.mean(v.astype(jnp.float32)) for v in dec.values())
             return loss, (new_bs, {"loss": loss})
-        outputs = gru_unroll(models, params, dec, B, T)
+        # like gru_loss_fn: attention softmax residuals must be transient
+        # (the auto remat policy relies on it)
+        from ssde_tpu.models.attention import remat_attention
+
+        with remat_attention():
+            outputs = gru_unroll(models, params, dec, B, T)
         if level == "gru":
             loss = sum(jnp.mean(outputs[f"disp/{s}"].astype(jnp.float32))
                        for s in opts.scales)

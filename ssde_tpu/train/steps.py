@@ -429,12 +429,20 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
             # planar fast path: the banded warp already emitted
             # (S*B, C, H, W) scale-major per source — concatenate along G
             # (frame-major: g = (j*S + i)*B + b) and feed the fused kernel
-            # directly, skipping the NHWC round-trip
+            # directly, skipping the NHWC round-trip. The identity-
+            # reprojection maps (raw sources vs target, automask) ride the
+            # SAME kernel call as extra G entries instead of a second pass.
             from ..ops.pallas.photometric import photometric_error_planar
 
-            preds_p = jnp.concatenate(
-                [outputs[f"color_planar/{f}"] for f in source_ids], axis=0
-            )
+            parts = [outputs[f"color_planar/{f}"] for f in source_ids]
+            n_warp = F * S
+            if not opts.disable_automasking:
+                parts += [
+                    inputs[f"color/{f}/0"].astype(jnp.float32)
+                    .transpose(0, 3, 1, 2)
+                    for f in source_ids
+                ]
+            preds_p = jnp.concatenate(parts, axis=0)
             targ_p = target0.transpose(0, 3, 1, 2)
             rep_all = photometric_error_planar(
                 preds_p, targ_p, interpret=(fused == "interpret")
@@ -442,6 +450,12 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
             for i, s in enumerate(opts.scales):
                 rep_by_scale[s] = jnp.concatenate(
                     [rep_all[(j * S + i) * B:(j * S + i + 1) * B]
+                     for j in range(F)],
+                    axis=-1,
+                )
+            if not opts.disable_automasking:
+                ident_shared = jnp.concatenate(
+                    [rep_all[n_warp * B + j * B:n_warp * B + (j + 1) * B]
                      for j in range(F)],
                     axis=-1,
                 )
@@ -458,7 +472,7 @@ def compute_losses(inputs, outputs, opts: Options, source_ids, rng=None):
                      for j in range(F)],
                     axis=-1,
                 )
-        if not opts.disable_automasking:
+        if not opts.disable_automasking and ident_shared is None:
             idents_all = jnp.concatenate(
                 [inputs[f"color/{f}/0"].astype(jnp.float32)
                  for f in source_ids],

@@ -76,6 +76,44 @@ def test_dump_xyz_accumulates():
     np.testing.assert_allclose(xyz[-1], [6.0, 0, 0])
 
 
+def test_context_vector_helpers_torch_parity(rng):
+    """gru_utils temporal-context helpers (reference gru_utils.py:124-163;
+    dead code there, ported for API completeness) match a direct torch
+    transcription."""
+    import torch
+
+    from ssde_tpu.metrics import banded_mask, context_vector, context_vectors
+
+    B, T, k = 2, 5, 2
+    l1 = rng.rand(B, T, 3, 4, 4).astype(np.float32)
+    l2 = rng.rand(B, T, 3, 4, 4).astype(np.float32)
+
+    ours = context_vectors(l1, l2, k)
+
+    t1 = torch.tensor(l1).view(B, T, -1)
+    t2 = torch.tensor(l2).view(B, T, -1)
+    scores = torch.bmm(t1, t1.transpose(1, 2)).double()
+    mask = torch.tensor(banded_mask(T, k)).unsqueeze(0).double()
+    scores = mask * scores
+    scores = scores / (torch.sum(scores, 2).unsqueeze(2) + 1e-6)
+    ref = torch.bmm(scores.float(), t2)[:, k:].view(
+        torch.tensor(l2)[:, k:].shape)
+    np.testing.assert_allclose(ours, ref.numpy(), rtol=1e-5, atol=1e-6)
+
+    x = rng.rand(3, 4).astype(np.float32)
+    prev1 = [rng.rand(3, 4).astype(np.float32) for _ in range(3)]
+    prev2 = [rng.rand(3, 4).astype(np.float32) for _ in range(3)]
+    ours1 = context_vector(x, [p.reshape(1, -1) for p in prev1],
+                           [p.reshape(1, -1) for p in prev2], (3, 4))
+    xt = torch.tensor(x).view(1, -1)
+    s = torch.mm(xt, torch.cat([torch.tensor(p).view(1, -1)
+                                for p in prev1]).T)
+    s = s / (torch.sum(s, 1) + 1e-6)
+    ref1 = torch.mm(s, torch.cat([torch.tensor(p).view(1, -1)
+                                  for p in prev2])).view(3, 4)
+    np.testing.assert_allclose(ours1, ref1.numpy(), rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow  # three jitted runner protocols; ~60 s on a 1-core host
 def test_gru_stream_evaluator(tmp_path):
     """Stateful runners: single / warmup / scene protocols on tiny shapes."""
