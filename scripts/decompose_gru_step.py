@@ -118,7 +118,8 @@ def main():
                 state.params)
             return state.apply_gradients(grads, new_batch_stats=new_bs), losses
 
-        return jax.jit(step, donate_argnums=(0,))
+        # NOT donated: fused raveled Adam + donation trips the axon runtime
+        return jax.jit(step)
 
     n_steps = int(os.environ.get("BENCH_STEPS", "15"))
     results = {}

@@ -99,7 +99,8 @@ def main():
             grads, (new_bs, losses) = jax.grad(loss_fn, has_aux=True)(state.params)
             return state.apply_gradients(grads, new_batch_stats=new_bs), losses
 
-        return jax.jit(step, donate_argnums=(0,))
+        # NOT donated: fused raveled Adam + donation trips the axon runtime
+        return jax.jit(step)
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
     results = {}

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from ..config import Options
 from ..data.transforms import preprocess_batch
+from .state import jit_step
 from ..models import DepthDecoder, PoseCNN, PoseDecoder, ResnetEncoder
 from ..models.attention_resnet import ResnetEncoderAttention
 from ..ops import (
@@ -645,7 +646,7 @@ def make_mono_train_step(models: MonoModels) -> Callable:
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, losses
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jit_step(step)
 
 
 def make_mono_infer_fn(models: MonoModels) -> Callable:

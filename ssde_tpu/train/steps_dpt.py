@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from ..config import Options
 from ..data.transforms import preprocess_batch
+from .state import jit_step
 from ..models import PoseDecoder, ResnetEncoder
 from ..models.dpt import DPTDepthModel
 from .steps import _apply_bn, compute_losses, generate_images_pred, predict_poses
@@ -110,4 +111,4 @@ def make_dpt_train_step(models: DPTModels) -> Callable:
         new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
         return new_state, losses
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jit_step(step)

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..config import Options
 from ..data.transforms import preprocess_batch
+from .state import jit_step
 from ..models import (
     DepthDecoder,
     FeatureFusionBlock,
@@ -173,4 +174,4 @@ def make_fusion_train_step(models: FusionModels) -> Callable:
         grads, (new_bs, losses, _) = jax.grad(loss_fn, has_aux=True)(state.params)
         return state.apply_gradients(grads, new_batch_stats=new_bs), losses
 
-    return jax.jit(step, donate_argnums=(0,))
+    return jit_step(step)
