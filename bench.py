@@ -155,11 +155,16 @@ def main():
         "batch": batch_size,
     }
 
-    # roofline grounding: HLO flops of the compiled step / wall / peak
+    # roofline grounding: HLO flops of the compiled step / wall / peak.
+    # Named hlo_flops_util, not "MFU": cost_analysis counts ALL HLO flops
+    # (VPU/elementwise + remat recompute), so dividing by the chip's
+    # matmul peak is an UPPER bound on matmul-only MFU as conventionally
+    # defined — keep cross-framework comparisons apples-to-apples.
     flops = _step_flops(step, state, batch, rng)
     if flops:
         result["step_tflops"] = round(flops / 1e12, 3)
-        result["mfu"] = round((flops * n_steps / dt) / (PEAK_TFLOPS * 1e12), 4)
+        result["hlo_flops_util"] = round(
+            (flops * n_steps / dt) / (PEAK_TFLOPS * 1e12), 4)
 
     if os.environ.get("BENCH_GRU", "1") != "0":
         try:

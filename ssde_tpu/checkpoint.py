@@ -81,7 +81,21 @@ def load_checkpoint(folder: str, params: Dict[str, Any],
     new_opt = None
     adam_path = os.path.join(folder, "adam.ckpt")
     if opt_state is not None and os.path.exists(adam_path):
-        new_opt, _ = load_module(adam_path, opt_state)
+        # Tolerate optimizer-state layout drift (e.g. the chain grew a
+        # freeze slot): params/batch_stats still load; training resumes
+        # with fresh Adam moments instead of crashing (mirrors the
+        # reference's "Cannot find Adam weights, randomly initialized"
+        # fallback, trainer.py:755-763).
+        try:
+            new_opt, _ = load_module(adam_path, opt_state)
+        except Exception as e:  # noqa: BLE001 - any deserialization mismatch
+            import warnings
+
+            warnings.warn(
+                f"adam.ckpt does not match the current optimizer layout "
+                f"({e}); optimizer state freshly initialized"
+            )
+            new_opt = None
     return params, batch_stats, new_opt, meta
 
 

@@ -73,7 +73,15 @@ def load_resized_uint8(path: str, width: int, height: int, do_flip: bool,
     else:
         import hashlib
 
-        key = hashlib.md5(f"{path}|{width}x{height}".encode()).hexdigest()
+        # size+mtime in the key so a replaced/re-downloaded source image
+        # invalidates its cached frame instead of being served stale
+        try:
+            st = os.stat(path)
+            stamp = f"{st.st_size}:{st.st_mtime_ns}"
+        except OSError:
+            stamp = "?"
+        key = hashlib.md5(
+            f"{path}|{width}x{height}|{stamp}".encode()).hexdigest()
         cpath = os.path.join(cache_dir, f"{key}.npy")
         arr = np.load(cpath, mmap_mode="r") if os.path.exists(cpath) else None
     if arr is None:

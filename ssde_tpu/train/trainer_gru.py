@@ -53,6 +53,15 @@ class GRUTrainer(TrainerBase):
                   "fuse=True, trainer_gru.py:62; the concat branch is "
                   "unreachable there)")
             options.fuse = 1
+        # the sequence dataset has no opposite-camera frames, so stereo
+        # training is not supported here — fail with a clear config error
+        # instead of a KeyError('stereo_T') at trace time
+        if options.use_stereo:
+            raise ValueError(
+                "--use_stereo is not supported by the GRU trainer: "
+                "KITTISeqDataset emits temporal tuples only (no color/s "
+                "or stereo_T). Use train.py / train_fusion.py for stereo."
+            )
         self._h0_frozen = False
         super().__init__(options)
 
