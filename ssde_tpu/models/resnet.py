@@ -36,6 +36,29 @@ def max_pool_3x3_s2(x):
     )
 
 
+def _stem_pool(x):
+    """Stem maxpool. MEASURED: select_and_scatter stays the default.
+
+    ops/pool.py's packed-argmax pool (one int32 reduce_window forward,
+    parity-grouped gather backward) is correct (tests/test_pool.py) but
+    measured a NET REGRESSION on the B=48 train step (273 -> 237
+    samples/s, 2026-08-21): the int32 window reduce + the parity
+    interleave are layout-hostile on TPU, echoing the round-4 finding
+    that the shifted-slice maxpool rewrite was 6x worse. Kept opt-in
+    (SSDE_FAST_POOL=1) for bf16 non-negative inputs; the default is
+    XLA's reduce_window/select_and_scatter pair.
+    """
+    import os
+
+    if (os.environ.get("SSDE_FAST_POOL") == "1"
+            and x.dtype == jnp.bfloat16
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        from ..ops.pool import max_pool_3x3_s2_fast
+
+        return max_pool_3x3_s2_fast(x)
+    return max_pool_3x3_s2(x)
+
+
 class _BatchNorm(nn.Module):
     """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1 torch == 0.9 flax)."""
 
@@ -138,7 +161,7 @@ class ResnetEncoder(nn.Module):
         f0 = nn.relu(x)
 
         features = [f0]
-        x = max_pool_3x3_s2(f0)
+        x = _stem_pool(f0)
         planes = 64
         for stage_idx, n_blocks in enumerate(stages):
             stride = 1 if stage_idx == 0 else 2

@@ -2,6 +2,7 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    device_prefetch,
     host_to_device,
     make_mesh,
     make_mesh_2d,

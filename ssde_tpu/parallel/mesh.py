@@ -62,6 +62,28 @@ def host_to_device(tree, sharding):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """Double-buffered host->device transfer over a batch iterator.
+
+    ``jax.device_put`` dispatches asynchronously, so enqueueing batch
+    N+1's transfer before yielding batch N overlaps H2D DMA with the
+    step's compute — the TPU-side half of the reference's
+    ``DataLoader(num_workers=12, pin_memory=True)`` overlap
+    (trainer.py:155-163; pin_memory+non_blocking is the CUDA analogue).
+    ``size=2`` keeps one batch in flight: deeper queues only add HBM
+    pressure (each buffered batch is device-resident).
+    """
+    from collections import deque
+
+    buf = deque()
+    for batch in iterator:
+        buf.append(shard_batch(batch, mesh))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 # --------------------------------------------------------------- model axis
 #
 # The reference CAN span one model across several GPUs by hand

@@ -33,7 +33,7 @@ from ..data.transforms import preprocess_batch
 from ..eval.depth import compute_errors
 from ..logging_utils import TimeLogger, Writers, save_opts
 from ..ops import disp_to_depth, resize_bilinear
-from ..parallel import make_mesh, shard_batch
+from ..parallel import device_prefetch, make_mesh, shard_batch
 from .state import TrainState, create_optimizer
 from .steps import (
     build_mono_models,
@@ -213,7 +213,12 @@ class TrainerBase:
         if hasattr(self.train_dataset, "set_epoch"):
             self.train_dataset.set_epoch(self.epoch)
         rng = jax.random.PRNGKey(self.epoch)
-        for batch_idx, batch in enumerate(self.train_loader):
+        # device_prefetch: batch N+1's host->device transfer is enqueued
+        # before step N is dispatched, so DMA overlaps compute (the default
+        # training path; see parallel/mesh.py)
+        for batch_idx, sharded in enumerate(
+            device_prefetch(self.train_loader, self.mesh)
+        ):
             before = time.time()
             rng, key = jax.random.split(rng)
             # optional jax.profiler window (steps 5 .. 5+profile_steps)
@@ -221,7 +226,6 @@ class TrainerBase:
                 jax.profiler.start_trace(os.path.join(self.log_path, "profile"))
             if self.opt.profile_steps and self.step == 5 + self.opt.profile_steps:
                 jax.profiler.stop_trace()
-            sharded = shard_batch(batch, self.mesh)
             self.state, losses = self.train_step(self.state, sharded, key)
 
             early_phase = (
