@@ -95,24 +95,28 @@ def main():
 
     results = _Results()
 
-    # --- maxpool 3x3 s2 (stem shape only: that's where it runs)
-    from ssde_tpu.models.resnet import max_pool_3x3_s2
-    from ssde_tpu.ops.pool import max_pool_3x3_s2_fast
+    probes = os.environ.get("BENCH_PROBES", "pool,bn,conv").split(",")
 
-    x = jax.nn.relu(jax.random.normal(key, (B, 96, 320, 64), jnp.bfloat16))
-    results["maxpool fwd+bwd"] = timed(vjp_scalar(max_pool_3x3_s2, x), ())
-    results["maxpool_fast fwd+bwd"] = timed(
-        vjp_scalar(max_pool_3x3_s2_fast, x), ())
+    # --- maxpool 3x3 s2 (stem shape only: that's where it runs)
+    if "pool" in probes:
+        from ssde_tpu.models.resnet import max_pool_3x3_s2
+        from ssde_tpu.ops.pool import max_pool_3x3_s2_fast
+
+        x = jax.nn.relu(
+            jax.random.normal(key, (B, 96, 320, 64), jnp.bfloat16))
+        results["maxpool fwd+bwd"] = timed(vjp_scalar(max_pool_3x3_s2, x), ())
+        results["maxpool_fast fwd+bwd"] = timed(
+            vjp_scalar(max_pool_3x3_s2_fast, x), ())
 
     # --- bn+relu per shape
-    for name, shp in shapes:
+    for name, shp in (shapes if "bn" in probes else []):
         x = jax.random.normal(key, shp, jnp.bfloat16)
         s = jnp.ones((shp[-1],), jnp.float32)
         b = jnp.zeros((shp[-1],), jnp.float32)
         results[f"bn_relu {name}"] = timed(vjp_scalar(bn_relu, x, s, b), ())
 
     # --- conv3x3 alone vs conv3x3+bn+relu (the fusion gap per conv)
-    for name, shp in shapes[1:3]:
+    for name, shp in (shapes[1:3] if "conv" in probes else []):
         C = shp[-1]
         x = jax.random.normal(key, shp, jnp.bfloat16)
         w = jax.random.normal(key, (3, 3, C, C), jnp.bfloat16) * 0.05

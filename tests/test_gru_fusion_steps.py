@@ -40,11 +40,12 @@ def _seq_batch(opts):
 
 @pytest.mark.parametrize(
     "version",
-    # v10 (attention-free, the perf default) is the fast-tier e2e GRU
-    # step; v9 and the other wirings each cost a full XLA:CPU train-step
-    # compile + scan execution -> slow tier
-    ["v10"] + [pytest.param(v, marks=pytest.mark.slow)
-               for v in ("v9", "v3", "v4", "v7", "v5", "v8")],
+    # every jitted GRU train-step compile is >60 s on this 1-core host
+    # (round-5 re-tier: fast tier <= 10 min); module-level GRU coverage
+    # stays fast via test_recurrent, the mono train step via
+    # test_train_step
+    [pytest.param(v, marks=pytest.mark.slow)
+     for v in ("v10", "v9", "v3", "v4", "v7", "v5", "v8")],
 )
 def test_gru_train_step(version):
     opts = _gru_opts(version)

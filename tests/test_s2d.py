@@ -83,7 +83,13 @@ def test_conv3x3_s2d_grads():
         assert jnp.abs(a - c).max() < 5e-4
 
 
-@pytest.mark.parametrize("lvl", ["0", "1", "2"])
+@pytest.mark.parametrize("lvl", [
+    # one representative cutover in the fast tier; levels 0/1 are the
+    # expensive full-decoder compiles (110 s + 34 s on this host) -> slow
+    pytest.param("0", marks=pytest.mark.slow),
+    pytest.param("1", marks=pytest.mark.slow),
+    "2",
+])
 def test_depth_decoder_s2d_parity(lvl, monkeypatch):
     """The whole decoder matches the NHWC path at every cutover level,
     for disp heads, the pre_disp hook, and parameter gradients."""

@@ -8,7 +8,14 @@ in test_trainers.py (slow tier).
 
 import os
 
+import pytest
+
 from ssde_tpu.config import Options
+
+# 96 s on this host (two trainer compiles + resume) -> slow tier; the
+# trainer loop's fast-tier signal is tests/test_device_prefetch +
+# test_train_step (round-5 re-tier)
+pytestmark = pytest.mark.slow
 
 
 def test_mono_trainer_smoke_and_resume(tmp_path):
