@@ -95,18 +95,45 @@ def bench_fed(args, paths, tmp):
     state, losses = step(state, first, rng)
     float(jax.device_get(losses["loss"]))
 
-    n = 0
-    t0 = time.perf_counter()
-    for epoch in range(args.fed_epochs):
-        for batch in loader:
-            rng, k = jax.random.split(rng)
-            state, losses = step(state, batch, k)
-            n += B
-    float(jax.device_get(losses["loss"]))
-    dt = time.perf_counter() - t0
+    # A/B: the trainer's default device_prefetch pipeline (batch N+1's
+    # H2D DMA enqueued before step N) vs handing host batches straight to
+    # the jitted step (implicit synchronous transfer)
+    from ssde_tpu.parallel import device_prefetch, make_mesh
+
+    mesh = make_mesh(1, batch_size=B)
     mode = "uint8-cache" if args.cache else "jpeg-decode"
-    print(f"loader-fed step [{mode}, {args.fed_workers} workers]: "
-          f"{n / dt:.1f} samples/s over {n} samples")
+
+    def run(label, iterate):
+        nonlocal rng, state
+        n = 0
+        t0 = time.perf_counter()
+        losses = None
+        for epoch in range(args.fed_epochs):
+            for batch in iterate():
+                rng, k = jax.random.split(rng)
+                state, losses = step(state, batch, k)
+                n += B
+        float(jax.device_get(losses["loss"]))
+        dt = time.perf_counter() - t0
+        print(f"loader-fed step [{mode}, {args.fed_workers} workers, "
+              f"{label}]: {n / dt:.1f} samples/s over {n} samples",
+              flush=True)
+
+    def plain_prefetch():
+        from collections import deque
+
+        buf = deque()
+        for b in loader:
+            buf.append(jax.tree.map(jax.device_put, b))
+            if len(buf) >= 2:
+                yield buf.popleft()
+        while buf:
+            yield buf.popleft()
+
+    run("direct", lambda: iter(loader))
+    run("device_prefetch", lambda: device_prefetch(iter(loader), mesh))
+    run("plain_put_prefetch", plain_prefetch)
+    run("direct2", lambda: iter(loader))
 
 
 def main():

@@ -63,18 +63,32 @@ def host_to_device(tree, sharding):
 
 
 def device_prefetch(iterator, mesh: Mesh, size: int = 2):
-    """Double-buffered host->device transfer over a batch iterator.
+    """Host->device batch handoff, shaped by MEASUREMENT per mesh size.
 
-    ``jax.device_put`` dispatches asynchronously, so enqueueing batch
-    N+1's transfer before yielding batch N overlaps H2D DMA with the
-    step's compute — the TPU-side half of the reference's
-    ``DataLoader(num_workers=12, pin_memory=True)`` overlap
-    (trainer.py:155-163; pin_memory+non_blocking is the CUDA analogue).
-    ``size=2`` keeps one batch in flight: deeper queues only add HBM
-    pressure (each buffered batch is device-resident).
+    Single device: yield host batches directly and let the jit boundary
+    transfer them. A/B on the tunneled v5e (scripts/bench_loader.py
+    --fed, 2026-08-21): direct 44.0 / 28.7 samples/s vs explicit
+    ``device_put`` prefetch 2.1-3.9 — this runtime's explicit put of
+    host numpy is 10-20x slower than the dispatch-path transfer, so
+    "overlap" via device_put is a large net loss. Set
+    SSDE_DEVICE_PREFETCH=1 to force the double-buffered explicit-put
+    pipeline (the canonical overlap on standard TPU hosts, the analogue
+    of the reference's pin_memory+non_blocking DataLoader,
+    trainer.py:155-163).
+
+    Multiple devices: explicit ``shard_batch`` is required for
+    correctness (the batch axis must land sharded over the mesh), and
+    the double buffer keeps one batch's DMA in flight behind the step.
     """
+    import os
     from collections import deque
 
+    explicit = (len(mesh.devices.flat) > 1
+                or os.environ.get("SSDE_DEVICE_PREFETCH") == "1")
+    if not explicit:
+        for batch in iterator:
+            yield batch
+        return
     buf = deque()
     for batch in iterator:
         buf.append(shard_batch(batch, mesh))

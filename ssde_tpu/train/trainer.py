@@ -264,7 +264,11 @@ class TrainerBase:
         except StopIteration:
             self._val_iter = iter(self.val_loader)
             batch = next(self._val_iter)
-        batch = shard_batch(batch, self.mesh)
+        if len(self.mesh.devices.flat) > 1:
+            # multi-device: the batch axis must land sharded; on one
+            # device the jit-boundary transfer is the measured-fast path
+            # (see parallel/mesh.device_prefetch)
+            batch = shard_batch(batch, self.mesh)
         try:
             inputs, outputs, losses = self.process_batch(batch)
         except Exception as e:
