@@ -145,6 +145,20 @@ def _fits_kernel(H, W):
     return H % 8 == 0 and W % 128 == 0 and H * W * 4 * 16 < 14 * 2**20
 
 
+def _fits_cgrid(H, W):
+    """Channel-grid variant: grid (G, C), one channel per program.
+
+    Serves large images (e.g. 320x1024, BASELINE config #5) that the
+    whole-image kernel cannot: per-program VMEM is ~12 live (H, W) maps
+    for ONE channel, and — the binding constraint found round 5 — the
+    per-program op count stays at 1/C of the whole-image kernel's. The
+    C-channel expression tree over 40-sublane-tile values crashes the
+    TPU compile helper (320x512 repro: 5 box filters x 1 channel
+    compiles, x 3 channels kills the subprocess), so big shapes must
+    shrink the per-program program, not just the block."""
+    return H % 8 == 0 and W % 128 == 0 and H * W * 4 * 12 < 24 * 2**20
+
+
 def _block_rows(H, W):
     """Largest legal row-block height for the H-blocked variant, or None.
 
@@ -159,6 +173,90 @@ def _block_rows(H, W):
         if H % bh == 0 and H // bh >= 2 and (bh + 16) * W * 4 * 22 < 14 * 2**20:
             return bh
     return None
+
+
+# ------------------------------------------------------------- channel grid
+
+
+def _photo_fwd_kernel_cgrid(C, pred_ref, targ_ref, out_ref):
+    """One (g, c) program: this channel's SSIM+L1 map, accumulated into
+    the per-g output across the sequential innermost c axis."""
+    c = pl.program_id(1)
+    H, W = out_ref.shape[1:]
+    row, col = _row_col_iota(H, W)
+    x = pred_ref[0, 0].astype(jnp.float32)
+    y = targ_ref[0, 0].astype(jnp.float32)
+    _, _, u, v, w, z = _ssim_stats(x, y, row, col, H, W)
+    s = jnp.clip((1.0 - (u * v) / (w * z)) * 0.5, 0.0, 1.0)
+    pix = (_SSIM_W * s + _L1_W * jnp.abs(x - y)) * (1.0 / C)
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[0] = pix
+
+    @pl.when(c != 0)
+    def _acc():
+        out_ref[0] = out_ref[0] + pix
+
+
+def _photo_bwd_kernel_cgrid(C, pred_ref, targ_ref, g_ref, dpred_ref):
+    """One (g, c) program: this channel's dpred block (no accumulation —
+    dpred is per-channel)."""
+    H, W = g_ref.shape[1:]
+    row, col = _row_col_iota(H, W)
+    g = g_ref[0].astype(jnp.float32) * (1.0 / C)
+    x = pred_ref[0, 0].astype(jnp.float32)
+    y = targ_ref[0, 0].astype(jnp.float32)
+    mx, my, u, v, w, z = _ssim_stats(x, y, row, col, H, W)
+    n = u * v
+    d = w * z
+    s_raw = (1.0 - n / d) * 0.5
+    live = (s_raw >= 0.0) & (s_raw <= 1.0)
+    inv_d = 1.0 / d
+    gq = jnp.where(live, g, 0.0) * _SSIM_W * (-0.5) * (1.0 / 9.0)
+    t_const = (my * (v - u) - n * inv_d * mx * (z - w)) * inv_d
+    t_y = u * inv_d
+    t_x = n * inv_d * inv_d * w
+    dx = (
+        _adjoint_box3(gq * t_const * 2.0, row, col, H, W)
+        + _adjoint_box3(gq * t_y * 2.0, row, col, H, W) * y
+        - _adjoint_box3(gq * t_x * 2.0, row, col, H, W) * x
+    )
+    dx = dx + g * _L1_W * jnp.sign(x - y)
+    dpred_ref[0, 0] = dx
+
+
+def _photo_call_cgrid(pred_p, targ_p, interpret):
+    G, C, H, W = pred_p.shape
+    B = targ_p.shape[0]
+    return pl.pallas_call(
+        functools.partial(_photo_fwd_kernel_cgrid, C),
+        grid=(G, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, H, W), lambda g, c: (g % B, c, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, W), lambda g, c: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, H, W), jnp.float32),
+        interpret=interpret,
+    )(pred_p, targ_p)
+
+
+def _photo_bwd_call_cgrid(pred_p, targ_p, g, interpret):
+    G, C, H, W = pred_p.shape
+    B = targ_p.shape[0]
+    return pl.pallas_call(
+        functools.partial(_photo_bwd_kernel_cgrid, C),
+        grid=(G, C),
+        in_specs=[
+            pl.BlockSpec((1, 1, H, W), lambda g_, c: (g_, c, 0, 0)),
+            pl.BlockSpec((1, 1, H, W), lambda g_, c: (g_ % B, c, 0, 0)),
+            pl.BlockSpec((1, H, W), lambda g_, c: (g_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, H, W), lambda g_, c: (g_, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, C, H, W), jnp.float32),
+        interpret=interpret,
+    )(pred_p, targ_p, g)
 
 
 # ------------------------------------------------------------------ blocked
@@ -230,6 +328,8 @@ def _photo_bwd_kernel_blocked(C, BH, H, pp, pc, pn, tp, tc, tn,
 def _photo_call(pred_p, targ_p, interpret):
     G, C, H, W = pred_p.shape
     B = targ_p.shape[0]
+    if not _fits_kernel(H, W) and _fits_cgrid(H, W):
+        return _photo_call_cgrid(pred_p, targ_p, interpret)
     if _fits_kernel(H, W):
         return pl.pallas_call(
             functools.partial(_photo_fwd_kernel, C),
@@ -265,6 +365,8 @@ def _photo_call(pred_p, targ_p, interpret):
 def _photo_bwd_call(pred_p, targ_p, g, interpret):
     G, C, H, W = pred_p.shape
     B = targ_p.shape[0]
+    if not _fits_kernel(H, W) and _fits_cgrid(H, W):
+        return _photo_bwd_call_cgrid(pred_p, targ_p, g, interpret)
     if _fits_kernel(H, W):
         return pl.pallas_call(
             functools.partial(_photo_bwd_kernel, C),
@@ -332,9 +434,14 @@ photometric_error_planar.defvjp(_pe_fwd, _pe_bwd)
 def fits_photometric(H, W):
     """Static predicate: can the fused kernel serve this resolution?
 
-    Whole-image kernel for shapes whose maps fit VMEM; H-blocked variant
-    (identical math, global-row masks) for larger images like 320x1024."""
-    return _PALLAS_OK and (_fits_kernel(H, W) or _block_rows(H, W) is not None)
+    Whole-image kernel for shapes whose maps fit VMEM; channel-grid
+    variant for larger images like 320x1024 (whose C-channel program
+    crashes the TPU compiler — see _fits_cgrid); H-blocked variant
+    (identical math, global-row masks) beyond that."""
+    return _PALLAS_OK and (
+        _fits_kernel(H, W) or _fits_cgrid(H, W)
+        or _block_rows(H, W) is not None
+    )
 
 
 def reprojection_loss_pallas(pred, target, interpret: bool = False):

@@ -99,3 +99,23 @@ def test_fusion_train_step(variant):
     step = make_fusion_train_step(models)
     state, losses = step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(losses["loss"]))
+
+
+@pytest.mark.slow
+def test_gru_train_step_t10():
+    """len_sequence=10 — the reference's DEFAULT sequence length
+    (options.py:54-57): the T-scan + version-aware remat policy at the
+    regime that actually stresses the hidden-state memory accounting.
+    (Real-chip fs/s for this regime is recorded by bench.py as
+    gru_v10_T10_frame_samples_per_sec.)"""
+    opts = _gru_opts("v10")
+    opts.len_sequence = 10
+    batch = _seq_batch(opts)
+    models = build_gru_models(opts)
+    params, batch_stats = init_gru_params(models, jax.random.PRNGKey(0), batch)
+    state = TrainState.create(params, batch_stats, create_optimizer(1e-4, 15, 10))
+    step = make_gru_train_step(models)
+    state, losses = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(losses["loss"]))
+    # every timestep contributed: the scan consumed all T center frames
+    assert int(state.step) == 1
